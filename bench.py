@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Benchmark harness: aug_cycle_gan training throughput on one chip.
+
+Measures steady-state images/sec of the full two-phase train step (the
+reference's hot loop, model.py:402-539) at the reference config: 64x64
+images, batch 32, ngf=32/ndf=64/nef=32, nlatent=16, LSGAN.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": R}
+
+vs_baseline compares against the PyTorch reference implementation measured
+on this machine's CPU via benchmarks/torch_proxy.py (no CUDA GPU exists in
+this environment; BASELINE.md records that no published numbers exist and a
+local proxy must be measured).  The proxy number is cached in
+BASELINE_MEASURED.json; delete it to re-measure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_MEASURED.json")
+
+BATCH = 32
+SIZE = 64
+WARMUP_STEPS = 5
+MEASURE_STEPS = 30
+
+
+def measure_tpu() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from domain_transfer_gan_tpu.config import TrainConfig
+    from domain_transfer_gan_tpu.models import create_model
+
+    cfg = TrainConfig(model="aug_cycle_gan", grid_size=SIZE, batchSize=BATCH,
+                      ngf=32, nef=32, ndf=64, nlatent=16,
+                      use_pallas=jax.default_backend() == "tpu",
+                      monitor_gnorm=True, seed=0)
+    cfg.expr_dir = ""
+    model = create_model(cfg, testing=True, image_size=SIZE)
+
+    rng = np.random.RandomState(0)
+    real_A = jnp.asarray(rng.uniform(-1, 1, (BATCH, SIZE, SIZE, 3))
+                         .astype(np.float32))
+    real_B = jnp.asarray(rng.uniform(-1, 1, (BATCH, SIZE, SIZE, 3))
+                         .astype(np.float32))
+
+    for _ in range(WARMUP_STEPS):
+        losses, _, _ = model.train_instance(real_A, real_B)
+    jax.block_until_ready(losses["D_A"])
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        losses, _, _ = model.train_instance(real_A, real_B)
+    jax.block_until_ready(losses["D_A"])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = MEASURE_STEPS * BATCH / dt
+    return {
+        "images_per_sec": imgs_per_sec,
+        "step_ms": 1e3 * dt / MEASURE_STEPS,
+        "backend": jax.default_backend(),
+        "pallas": cfg.use_pallas,
+    }
+
+
+def load_or_measure_baseline() -> dict:
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)
+    sys.stderr.write("measuring torch-CPU reference proxy baseline...\n")
+    from benchmarks.torch_proxy import measure_torch_proxy
+    base = measure_torch_proxy(batch=BATCH, size=SIZE, steps=6)
+    with open(BASELINE_FILE, "w") as f:
+        json.dump(base, f, indent=2)
+    return base
+
+
+def main():
+    res = measure_tpu()
+    try:
+        base = load_or_measure_baseline()
+        base_ips = base["images_per_sec"]
+        vs = res["images_per_sec"] / base_ips
+    except Exception as e:  # baseline failure must not kill the bench
+        sys.stderr.write("baseline proxy unavailable: %r\n" % (e,))
+        vs = float("nan")
+    print(json.dumps({
+        "metric": "aug_cycle_gan 64x64 b32 train images/sec/chip",
+        "value": round(res["images_per_sec"], 2),
+        "unit": "images/sec",
+        "vs_baseline": (round(vs, 3) if vs == vs else None),
+    }))
+
+
+if __name__ == "__main__":
+    main()

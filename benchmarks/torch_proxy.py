@@ -1,0 +1,224 @@
+"""PyTorch proxy of the reference training step, used ONLY to measure the
+baseline images/sec on this machine (no CUDA device exists here, so this is
+a CPU proxy; BASELINE.md documents that the reference publishes no numbers).
+
+This is an independent re-implementation of the *architecture spec* from
+SURVEY.md §2.1 in modern torch — it is deliberately not a copy of the
+reference code.  Functionally it performs the same work per step as
+aug_cycle_gan's train_instance: shared forward, D losses/update on detached
+fakes, G losses (incl. cycles + latent cycle) /update, Adam with per-net
+grad clipping.
+"""
+
+from __future__ import annotations
+
+import time
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+class CIN(nn.Module):
+    """Conditional instance norm: scale/shift = relu(1x1 conv of z)."""
+
+    def __init__(self, ch, zdim):
+        super().__init__()
+        self.s = nn.Conv2d(zdim, ch, 1)
+        self.t = nn.Conv2d(zdim, ch, 1)
+
+    def forward(self, x, z):
+        h = F.instance_norm(x)
+        return h * F.relu(self.s(z)) + F.relu(self.t(z))
+
+
+class CinBlock(nn.Module):
+    def __init__(self, ch, zdim):
+        super().__init__()
+        self.c1 = nn.Conv2d(ch, ch, 3, padding=1)
+        self.n1 = CIN(ch, zdim)
+        self.c2 = nn.Conv2d(ch, ch, 3, padding=1)
+        self.n2 = nn.InstanceNorm2d(ch, affine=True)
+
+    def forward(self, x, z):
+        h = F.relu(self.n1(self.c1(x), z))
+        h = self.n2(self.c2(h))
+        return F.relu(x + h)
+
+
+class GenAB(nn.Module):
+    """CIN ResNet generator: 1x down, 3 blocks, 1x up, tanh."""
+
+    def __init__(self, zdim=16, ch=32, io=3):
+        super().__init__()
+        self.stem = nn.ModuleList([
+            nn.Conv2d(io, ch, 7, padding=3),
+            nn.Conv2d(ch, 2 * ch, 3, padding=1),
+            nn.Conv2d(2 * ch, 4 * ch, 3, stride=2, padding=1)])
+        self.cins = nn.ModuleList([CIN(ch, zdim), CIN(2 * ch, zdim),
+                                   CIN(4 * ch, zdim)])
+        self.blocks = nn.ModuleList([CinBlock(4 * ch, zdim) for _ in range(3)])
+        self.up = nn.ConvTranspose2d(4 * ch, 2 * ch, 3, stride=2, padding=1,
+                                     output_padding=1)
+        self.cin_up = CIN(2 * ch, zdim)
+        self.tail = nn.Conv2d(2 * ch, ch, 3, padding=1)
+        self.cin_tail = CIN(ch, zdim)
+        self.out = nn.Conv2d(ch, io, 7, padding=3)
+
+    def forward(self, x, z):
+        h = x
+        for conv, cin in zip(self.stem, self.cins):
+            h = F.relu(cin(conv(h), z))
+        for b in self.blocks:
+            h = b(h, z)
+        h = F.relu(self.cin_up(self.up(h), z))
+        h = F.relu(self.cin_tail(self.tail(h), z))
+        return torch.tanh(self.out(h))
+
+
+def gen_ba(ch=32, io=3):
+    def blk(ci, co, **kw):
+        return [nn.Conv2d(ci, co, 3, **kw), nn.InstanceNorm2d(co, affine=True),
+                nn.ReLU()]
+    layers = ([nn.Conv2d(io, ch, 7, padding=3), nn.InstanceNorm2d(ch, True),
+               nn.ReLU()]
+              + blk(ch, 2 * ch, padding=1)
+              + blk(2 * ch, 4 * ch, stride=2, padding=1))
+    for _ in range(3):
+        layers += [ResBlock(4 * ch)]
+    layers += [nn.ConvTranspose2d(4 * ch, 2 * ch, 3, 2, 1, 1),
+               nn.InstanceNorm2d(2 * ch, True), nn.ReLU()]
+    layers += blk(2 * ch, ch, padding=1)
+    layers += [nn.Conv2d(ch, io, 7, padding=3), nn.Tanh()]
+    return nn.Sequential(*layers)
+
+
+class ResBlock(nn.Module):
+    def __init__(self, ch):
+        super().__init__()
+        self.f = nn.Sequential(
+            nn.Conv2d(ch, ch, 3, padding=1), nn.ReLU(),
+            nn.Conv2d(ch, ch, 3, padding=1), nn.InstanceNorm2d(ch, True))
+
+    def forward(self, x):
+        return F.relu(x + self.f(x))
+
+
+def disc_patch(ch=64, io=3):
+    def blk(ci, co, s):
+        return [nn.Conv2d(ci, co, 4, stride=s, padding=1),
+                nn.InstanceNorm2d(co, True), nn.LeakyReLU(0.2)]
+    return nn.Sequential(
+        nn.Conv2d(io, ch, 4, 2, 1), nn.LeakyReLU(0.2),
+        *blk(ch, 2 * ch, 2), *blk(2 * ch, 4 * ch, 1), *blk(4 * ch, 4 * ch, 1),
+        nn.Conv2d(4 * ch, 1, 4, 1, 1))
+
+
+def disc_global(ch=32, io=3):
+    def blk(ci, co):
+        return [nn.Conv2d(ci, co, 3, stride=2, padding=1),
+                nn.InstanceNorm2d(co, True), nn.LeakyReLU(0.2)]
+    return nn.Sequential(
+        nn.Conv2d(io, ch, 3, 2, 1), nn.LeakyReLU(0.2),
+        *blk(ch, 2 * ch), *blk(2 * ch, 4 * ch), *blk(4 * ch, 4 * ch),
+        nn.Conv2d(4 * ch, 1, 4))
+
+
+def disc_latent(zdim=16, ch=64):
+    return nn.Sequential(
+        nn.Linear(zdim, ch), nn.BatchNorm1d(ch), nn.LeakyReLU(0.2),
+        nn.Linear(ch, ch), nn.BatchNorm1d(ch), nn.LeakyReLU(0.2),
+        nn.Linear(ch, ch), nn.BatchNorm1d(ch), nn.LeakyReLU(0.2),
+        nn.Linear(ch, 1))
+
+
+class Encoder(nn.Module):
+    def __init__(self, zdim=16, ch=32, io=6):
+        super().__init__()
+        def blk(ci, co, k=3, s=2, p=1):
+            return [nn.Conv2d(ci, co, k, s, p, bias=False),
+                    nn.BatchNorm2d(co), nn.ReLU()]
+        self.body = nn.Sequential(
+            nn.Conv2d(io, ch, 3, 2, 1), nn.ReLU(),
+            *blk(ch, 2 * ch), *blk(2 * ch, 4 * ch), *blk(4 * ch, 8 * ch),
+            *blk(8 * ch, 8 * ch, k=4, s=1, p=0))
+        self.mu = nn.Conv2d(8 * ch, zdim, 1)
+        self.lv = nn.Conv2d(8 * ch, zdim, 1)
+
+    def forward(self, x):
+        h = self.body(x)
+        return self.mu(h).flatten(1), self.lv(h).flatten(1)
+
+
+def measure_torch_proxy(batch=32, size=64, steps=10, warmup=2, zdim=16):
+    torch.manual_seed(0)
+    g_ab, g_ba = GenAB(zdim), gen_ba()
+    d_a, d_b, d_z, enc = disc_global(), disc_patch(), disc_latent(zdim), Encoder(zdim)
+
+    mse, l1 = F.mse_loss, F.l1_loss
+    opt_g = torch.optim.Adam([*g_ab.parameters(), *g_ba.parameters(),
+                              *enc.parameters()], lr=2e-4, betas=(0.5, 0.999))
+    opt_d = torch.optim.Adam([*d_a.parameters(), *d_b.parameters(),
+                              *d_z.parameters()], lr=4e-5, betas=(0.5, 0.999))
+
+    A = torch.rand(batch, 3, size, size) * 2 - 1
+    B = torch.rand(batch, 3, size, size) * 2 - 1
+
+    def one_step():
+        z = torch.randn(batch, zdim, 1, 1)
+        fake_B = g_ab(A, z)
+        fake_A = g_ba(B)
+        mu, lv = enc(torch.cat([fake_A, B], 1))
+        post_z = mu[:, :, None, None]
+
+        # D phase
+        ld = (0.5 * (mse(d_a(fake_A.detach()), torch.zeros(batch, 1, 1, 1))
+                     + mse(d_a(A), torch.ones(batch, 1, 1, 1))))
+        pb = d_b(fake_B.detach())
+        ld = ld + 0.5 * (mse(pb, torch.zeros_like(pb))
+                         + mse(d_b(B), torch.ones_like(pb)))
+        pz = d_z(post_z.detach().flatten(1))
+        ld = ld + 0.5 * (mse(pz, torch.zeros_like(pz))
+                         + mse(d_z(z.flatten(1)), torch.ones_like(pz)))
+        opt_d.zero_grad()
+        ld.backward()
+        for m in (d_a, d_b, d_z):
+            torch.nn.utils.clip_grad_norm_(m.parameters(), 500.0)
+        opt_d.step()
+
+        # G phase (vs updated D)
+        pa = d_a(fake_A)
+        lg = mse(pa, torch.ones_like(pa))
+        pb = d_b(fake_B)
+        lg = lg + mse(pb, torch.ones_like(pb))
+        pz = d_z(post_z.flatten(1))
+        lg = lg + mse(pz, torch.ones_like(pz))
+        rec_A = g_ba(fake_B)
+        mu2, _ = enc(torch.cat([A, fake_B], 1))
+        rec_B = g_ab(fake_A, post_z)
+        lg = lg + l1(rec_A, A) + l1(rec_B, B) + 0.025 * l1(mu2, z.flatten(1))
+        opt_g.zero_grad()
+        lg.backward()
+        for m in (g_ab, g_ba, enc):
+            torch.nn.utils.clip_grad_norm_(m.parameters(), 500.0)
+        opt_g.step()
+
+    for _ in range(warmup):
+        one_step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    dt = time.perf_counter() - t0
+    return {
+        "images_per_sec": steps * batch / dt,
+        "step_ms": 1e3 * dt / steps,
+        "backend": "torch-cpu-proxy",
+        "torch_version": torch.__version__,
+        "note": "PyTorch reference-architecture proxy measured on CPU "
+                "(no CUDA GPU in this environment)",
+    }
+
+
+if __name__ == "__main__":
+    import json
+    print(json.dumps(measure_torch_proxy(), indent=2))

@@ -1,0 +1,165 @@
+"""Evaluation driver — rebuild of reference test.py:193-309 with the broken
+edges2shoes import restored (quirk Q2) and all four metric modes:
+bpp | mse | visual | noise_sens.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config import TestOptions, load_train_config_from_expr_dir
+from ..data import AlignedIterator, UnalignedIterator, load_edges2shoes
+from ..eval import (
+    eval_mse_A,
+    eval_ubo_B,
+    one_to_three_channels,
+    sensitivity_to_edge_noise,
+    train_logvar,
+)
+from ..eval.visualize import interleave_columns, save_image_grid
+from ..models import create_model
+
+
+def visualize_cycle(opt, real_A, visuals, name="cycle_test.png"):
+    imgs = [one_to_three_channels(np.asarray(v)[..., :3])
+            for v in visuals.values()]
+    grid = interleave_columns(imgs)
+    save_image_grid(grid, os.path.join(opt.res_dir, name), nrow=len(imgs))
+
+
+def visualize_multi_cycle(opt, real_B, model, name="multi_cycle_test.png"):
+    images = model.generate_multi_cycle(jnp.asarray(real_B), steps=4)
+    imgs = [one_to_three_channels(np.asarray(im)[..., :3]) for im in images]
+    grid = interleave_columns(imgs)
+    save_image_grid(grid, os.path.join(opt.res_dir, name), nrow=len(imgs))
+
+
+def visualize_cycle_B_multi(opt, real_B, model, name="cycle_B_multi_test.png"):
+    real_B = jnp.asarray(real_B)
+    n = real_B.shape[0]
+    z_set = model.sample_prior_z(opt.num_multi)
+    multi_z = jnp.tile(z_set, (n, 1))
+    fake_A, multi_fake_B = model.generate_cycle_B_multi(real_B, multi_z)
+    multi_fake_B = np.asarray(multi_fake_B).reshape(
+        (n, opt.num_multi) + real_B.shape[1:])
+    cols = [np.asarray(real_B), np.asarray(fake_A)] + \
+        [multi_fake_B[:, i] for i in range(opt.num_multi)]
+    grid = interleave_columns([one_to_three_channels(c[..., :3])
+                               for c in cols])
+    save_image_grid(grid, os.path.join(opt.res_dir, name),
+                    nrow=opt.num_multi + 2)
+
+
+def visualize_multi(opt, real_A, model, name="multi_test.png"):
+    real_A = jnp.asarray(real_A)
+    n = real_A.shape[0]
+    z_set = model.sample_prior_z(opt.num_multi)
+    multi_z = jnp.tile(z_set, (n, 1))
+    multi_fake_B = np.asarray(model.generate_multi(real_A, multi_z)).reshape(
+        (n, opt.num_multi) + real_A.shape[1:])
+    cols = [np.asarray(real_A)] + [multi_fake_B[:, i]
+                                   for i in range(opt.num_multi)]
+    grid = interleave_columns([one_to_three_channels(c[..., :3])
+                               for c in cols])
+    save_image_grid(grid, os.path.join(opt.res_dir, name),
+                    nrow=opt.num_multi + 1)
+
+
+def visualize_inference(opt, real_A, real_B, model, name="inf_test.png"):
+    real_A = jnp.asarray(real_A)
+    real_B = jnp.asarray(real_B)[:opt.num_multi]
+    n = real_A.shape[0]
+    multi_fake_B = np.asarray(model.inference_multi(real_A, real_B)).reshape(
+        (n, opt.num_multi) + real_A.shape[1:])
+    cols = [np.asarray(real_A)] + [multi_fake_B[:, i]
+                                   for i in range(opt.num_multi)]
+    body = interleave_columns([one_to_three_channels(c[..., :3])
+                               for c in cols])
+    header = np.concatenate(
+        [np.ones((1,) + body.shape[1:], body.dtype),
+         one_to_three_channels(np.asarray(real_B)[..., :3])], axis=0)
+    grid = np.concatenate([header, body], axis=0)
+    save_image_grid(grid, os.path.join(opt.res_dir, name),
+                    nrow=opt.num_multi + 1)
+
+
+def test_model(argv=None):
+    topt = TestOptions().parse(argv)
+    expr_dir = os.path.dirname(topt.chk_path)
+    opt = load_train_config_from_expr_dir(expr_dir, dataroot=topt.dataroot,
+                                          seed=12345)
+    opt.expr_dir = expr_dir
+
+    res_path = os.path.join(expr_dir, topt.res_dir)
+    os.makedirs(res_path, exist_ok=True)
+    opt.res_dir = res_path
+
+    trainA, trainB, devA, devB, testA, testB = load_edges2shoes(
+        opt.dataroot, size=opt.grid_size,
+        dev_size=getattr(opt, "dev_size", 200))
+    sub = int(len(trainA) * 0.2)
+    train_dataset = UnalignedIterator(trainA[:sub], trainB[:sub],
+                                      batch_size=200)
+    print("#training images = %d" % len(train_dataset))
+    test_dataset = AlignedIterator(testA, testB, batch_size=200)
+    print("#test images = %d" % len(test_dataset))
+    dev_dataset = AlignedIterator(devA, devB, batch_size=200)
+    print("#dev images = %d" % len(dev_dataset))
+
+    model = create_model(opt, testing=True, image_size=64)
+    model.load(topt.chk_path)
+    vis_inf = opt.model == "aug_cycle_gan"
+
+    if topt.metric == "bpp":
+        logvar_B = None
+        if topt.train_logvar:
+            print("training logvar_B on training data...")
+            logvar_B = train_logvar(train_dataset, model)
+        print("evaluating on test set...")
+        t = time.time()
+        test_ubo_B, test_bpp_B, test_kld_B = eval_ubo_B(
+            test_dataset, model, 500, visualize=True, vis_name="test_pred_B",
+            vis_path=opt.res_dir, logvar_B=logvar_B, verbose=True,
+            compute_l1=True)
+        print("TEST_BPP_B: %.4f, TIME: %.4f" % (test_bpp_B, time.time() - t))
+
+    elif topt.metric == "mse":
+        dev_mse_A = eval_mse_A(dev_dataset, model)
+        test_mse_A = eval_mse_A(test_dataset, model)
+        print("DEV_MSE_A: %.4f, TEST_MSE_A: %.4f" % (dev_mse_A, test_mse_A))
+
+    elif topt.metric == "visual":
+        opt.num_multi = 5
+        n_vis = 10
+        dev_vis = AlignedIterator(devA, devB, batch_size=n_vis)
+        for i, vis_data in enumerate(dev_vis):
+            real_A, real_B = vis_data["A"], vis_data["B"]
+            prior_z_B = model.sample_prior_z(n_vis)
+            visuals = model.generate_cycle(jnp.asarray(real_A),
+                                           jnp.asarray(real_B), prior_z_B)
+            visualize_cycle(opt, real_A, visuals, name="cycle_%d.png" % i)
+            visualize_multi(opt, real_A, model, name="multi_%d.png" % i)
+            visualize_cycle_B_multi(opt, real_B, model,
+                                    name="cycle_B_multi_%d.png" % i)
+            visualize_multi_cycle(opt, real_B, model,
+                                  name="multi_cycle_%d.png" % i)
+            if vis_inf:
+                visualize_inference(opt, real_A, real_B, model,
+                                    name="inf_%d.png" % i)
+            break  # the reference also stops after the first batch
+
+    elif topt.metric == "noise_sens":
+        sensitivity_to_edge_noise(opt, model, next(iter(test_dataset))["B"],
+                                  save_path=os.path.join(opt.res_dir,
+                                                         "noise_sens.npy"))
+    else:
+        raise NotImplementedError("wrong metric!")
+
+
+if __name__ == "__main__":
+    test_model()

@@ -1,0 +1,306 @@
+"""Training driver — full rebuild of reference train.py:96-313 with the same
+artifact contract (results.txt/json, history_*.npy, best_* checkpoints, vis
+dirs) plus the TPU-native upgrades: data-parallel mesh, double-buffered
+device feed, async loss fetching, windowed throughput, and REAL resume
+(the reference parsed --continue_train but never acted on it, quirk Q10).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import sys
+import time
+from shutil import copyfile
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TrainConfig, TrainOptions, create_sub_dirs
+from ..data import (
+    AlignedIterator,
+    DataLoader,
+    UnalignedIterator,
+    load_numpy_data,
+)
+from ..eval import eval_mse_A, eval_ubo_B, one_to_three_channels
+from ..eval.visualize import interleave_columns, save_image_grid
+from ..models import create_model
+from ..parallel import DataParallel
+from ..utils import StepTimer, copy_scripts_to_folder, format_log, print_log, \
+    save_results
+
+
+def visualize_cycle(opt, real_A, visuals, eidx, uidx, train):
+    """6-column cycle grid (reference train.py:47-59)."""
+    imgs = [one_to_three_channels(np.asarray(v)[..., :3])
+            for v in visuals.values()]
+    grid = interleave_columns(imgs)
+    save_dir = opt.train_vis_cycle if train else opt.vis_cycle
+    save_path = os.path.join(save_dir, "cycle_%02d_%04d.png" % (eidx, uidx))
+    save_image_grid(grid, save_path, nrow=len(imgs))
+    copyfile(save_path, os.path.join(opt.vis_latest, "cycle.png"))
+
+
+def visualize_multi(opt, real_A, model, eidx, uidx):
+    """Same z-set across the batch (reference train.py:61-74)."""
+    real_A = jnp.asarray(real_A)
+    n = real_A.shape[0]
+    z_set = jax.random.normal(model.next_key(), (opt.num_multi, opt.nlatent))
+    multi_z = jnp.tile(z_set, (n, 1))
+    multi_fake_B = np.asarray(model.generate_multi(real_A, multi_z))
+    multi_fake_B = multi_fake_B.reshape((n, opt.num_multi) +
+                                        multi_fake_B.shape[1:])
+    cols = [np.asarray(real_A)] + [multi_fake_B[:, i]
+                                   for i in range(opt.num_multi)]
+    grid = interleave_columns([one_to_three_channels(c[..., :3])
+                               for c in cols])
+    save_path = os.path.join(opt.vis_multi, "multi_%02d_%04d.png" % (eidx, uidx))
+    save_image_grid(grid, save_path, nrow=opt.num_multi + 1)
+    copyfile(save_path, os.path.join(opt.vis_latest, "multi.png"))
+
+
+def visualize_inference(opt, real_A, real_B, model, eidx, uidx):
+    """Posterior-z transfer grid (reference train.py:76-94)."""
+    real_A = jnp.asarray(real_A)
+    real_B = jnp.asarray(real_B)[:opt.num_multi]
+    n = real_A.shape[0]
+    multi_fake_B = np.asarray(model.inference_multi(real_A, real_B))
+    multi_fake_B = multi_fake_B.reshape((n, opt.num_multi) +
+                                        multi_fake_B.shape[1:])
+    cols = [np.asarray(real_A)] + [multi_fake_B[:, i]
+                                   for i in range(opt.num_multi)]
+    body = interleave_columns([one_to_three_channels(c[..., :3])
+                               for c in cols])
+    header = np.concatenate([np.ones((1,) + body.shape[1:], body.dtype),
+                             one_to_three_channels(np.asarray(real_B)[..., :3])],
+                            axis=0)
+    grid = np.concatenate([header, body], axis=0)
+    save_path = os.path.join(opt.vis_inf, "inf_%02d_%04d.png" % (eidx, uidx))
+    save_image_grid(grid, save_path, nrow=opt.num_multi + 1)
+    copyfile(save_path, os.path.join(opt.vis_latest, "inf.png"))
+
+
+def train_model(opt: TrainConfig = None, argv=None):
+    if opt is None:
+        opt = TrainOptions().parse(
+            sub_dirs=["vis_multi", "vis_cycle", "vis_latest",
+                      "train_vis_cycle"], args=argv)
+    out_f = open(os.path.join(opt.expr_dir, "results.txt"), "w")
+    copy_scripts_to_folder(opt.expr_dir)
+
+    if opt.seed is not None:
+        print("using random seed:", opt.seed)
+        np.random.seed(opt.seed)
+
+    # ----- data ---------------------------------------------------------
+    if opt.numpy_data:
+        trainA, trainB, devA, devB, testA, testB = load_numpy_data(
+            opt.dataroot, grid_size=opt.grid_size, dev_size=opt.dev_size)
+        train_dataset = UnalignedIterator(trainA, trainB,
+                                          batch_size=opt.batchSize)
+        print_log(out_f, "#training images = %d" % len(train_dataset))
+        test_dataset = AlignedIterator(testA, testB, batch_size=100)
+        print_log(out_f, "#test images = %d" % len(test_dataset))
+        dev_dataset = AlignedIterator(devA, devB, batch_size=100)
+        print_log(out_f, "#dev images = %d" % len(dev_dataset))
+        dev_cycle = itertools.cycle(AlignedIterator(devA, devB, batch_size=25))
+    else:
+        train_loader = DataLoader(opt, subset="train", unaligned=True,
+                                  batchSize=opt.batchSize)
+        test_loader = DataLoader(opt, subset="val", unaligned=False,
+                                 batchSize=200)
+        dev_loader = DataLoader(opt, subset="dev", unaligned=False,
+                                batchSize=200)
+        dev_cycle_loader = DataLoader(opt, subset="dev", unaligned=False,
+                                      batchSize=25)
+        train_dataset = train_loader
+        print_log(out_f, "#training images = %d" % len(train_loader))
+        test_dataset = test_loader
+        print_log(out_f, "#test images = %d" % len(test_loader))
+        dev_dataset = dev_loader
+        print_log(out_f, "#dev images = %d" % len(dev_loader))
+
+        def _cycle(loader):
+            while True:
+                for b in loader:
+                    yield b
+        dev_cycle = _cycle(dev_cycle_loader)
+
+    if opt.supervised:
+        if opt.numpy_data:
+            sup_size = int(len(trainA) * opt.sup_frac)
+            sup_train_dataset = AlignedIterator(trainA[:sup_size],
+                                                trainB[:sup_size],
+                                                batch_size=opt.batchSize)
+        else:
+            sup_loader = DataLoader(opt, subset="train", unaligned=False,
+                                    batchSize=opt.batchSize,
+                                    fraction=opt.sup_frac)
+            sup_size = len(sup_loader)
+            sup_train_dataset = sup_loader
+        sup_iter = itertools.cycle(iter(sup_train_dataset))
+        print_log(out_f, "#supervised images = %d" % sup_size)
+
+    # ----- model --------------------------------------------------------
+    model = create_model(opt, image_size=opt.grid_size)
+    vis_inf = False
+    if opt.model == "aug_cycle_gan":
+        create_sub_dirs(opt, ["vis_inf"])
+        vis_inf = True
+    print_log(out_f, "model [%s] was created" % type(model).__name__)
+
+    # real resume (fixes reference quirk Q10)
+    if opt.continue_train:
+        chk = os.path.join(opt.expr_dir, opt.which_epoch
+                           if opt.which_epoch != "latest" else "latest")
+        if os.path.exists(chk):
+            model.load(chk)
+            print_log(out_f, "resumed from %s (epoch %d, step %d)"
+                      % (chk, model.epoch, int(model.state.step)))
+        else:
+            print_log(out_f, "WARNING: --continue_train set but %s missing"
+                      % chk)
+
+    # data parallel over all visible devices
+    n_dev = opt.num_devices or len(jax.devices())
+    if n_dev > 1 and opt.batchSize % n_dev == 0:
+        model = DataParallel(model, num_devices=n_dev, axis=opt.data_axis)
+        print_log(out_f, "data-parallel over %d devices" % model.n_devices)
+
+    total_steps = 0
+    timer = StepTimer()
+    results = {
+        "best_dev_mse_A": sys.float_info.max,
+        "best_test_mse_A": sys.float_info.max,
+        "best_dev_bpp_B": sys.float_info.max,
+        "best_test_bpp_B": sys.float_info.max,
+    }
+    save_results(opt.expr_dir, results)
+    history_mse_A = []
+    history_ubo_B = []
+    create_sub_dirs(opt, ["vis_pred_B"])
+
+    start_epoch = model.epoch if opt.continue_train else opt.epoch_count
+    for epoch in range(start_epoch, opt.niter + opt.niter_decay + 1):
+        model.epoch = epoch
+        epoch_start_time = time.time()
+        epoch_iter = 0
+
+        for i, data in enumerate(train_dataset):
+            real_A, real_B = data["A"], data["B"]
+            if real_A.shape[0] != real_B.shape[0]:
+                continue
+            total_steps += opt.batchSize
+            epoch_iter += opt.batchSize
+
+            out = model.train_instance(real_A, real_B)
+            if opt.monitor_gnorm:
+                losses, visuals, gnorms = out
+            else:
+                losses, visuals = out
+
+            if opt.supervised:
+                sup_data = next(sup_iter)
+                sup_losses = model.supervised_train_instance(sup_data["A"],
+                                                             sup_data["B"])
+            timer.tick(opt.batchSize)
+
+            if total_steps % opt.display_freq == 0:
+                visualize_cycle(opt, real_A, visuals, epoch,
+                                epoch_iter // opt.batchSize, train=True)
+                dev_data = next(dev_cycle)
+                dev_A, dev_B = dev_data["A"], dev_data["B"]
+                dev_z = model.sample_prior_z(dev_A.shape[0])
+                dev_visuals = model.generate_cycle(jnp.asarray(dev_A),
+                                                   jnp.asarray(dev_B), dev_z)
+                visualize_cycle(opt, dev_A, dev_visuals, epoch,
+                                epoch_iter // opt.batchSize, train=False)
+                visualize_multi(opt, dev_A, model, epoch,
+                                epoch_iter // opt.batchSize)
+                if vis_inf:
+                    visualize_inference(opt, dev_A, dev_B, model, epoch,
+                                        epoch_iter // opt.batchSize)
+
+            if total_steps % opt.print_freq == 0:
+                sec_per_item, img_per_sec, _, _ = timer.window(
+                    sync_array=losses["D_A"])
+                print_log(out_f, format_log(epoch, epoch_iter, losses,
+                                            sec_per_item))
+                if opt.supervised:
+                    print_log(out_f, format_log(epoch, epoch_iter, sup_losses,
+                                                sec_per_item, prefix=False))
+                if opt.monitor_gnorm:
+                    print_log(out_f, format_log(epoch, epoch_iter, gnorms,
+                                                sec_per_item, prefix=False)
+                              + "\n")
+                print_log(out_f, "  throughput: %.1f images/sec" % img_per_sec)
+
+        if epoch % opt.save_epoch_freq == 0:
+            print_log(out_f, "saving the model at the end of epoch %d, "
+                      "iters %d" % (epoch, total_steps))
+            model.save("latest")
+
+        # ----- evaluate mappings (reference train.py:256-305) -----------
+        if epoch % opt.eval_A_freq == 0:
+            t = time.time()
+            dev_mse_A = eval_mse_A(dev_dataset, model)
+            test_mse_A = eval_mse_A(test_dataset, model)
+            t = time.time() - t
+            history_mse_A.append((dev_mse_A, test_mse_A))
+            np.save(os.path.join(opt.expr_dir, "history_mse_A"),
+                    history_mse_A)
+            res_str_list = ["[%d] DEV_MSE_A: %.4f, TEST_MSE_A: %.4f, "
+                            "TIME: %.4f" % (epoch, dev_mse_A, test_mse_A, t)]
+            if dev_mse_A < results["best_dev_mse_A"]:
+                with open(os.path.join(opt.expr_dir, "best_mse_A.txt"),
+                          "w") as f:
+                    f.write(res_str_list[0] + "\n")
+                results["best_dev_mse_A"] = dev_mse_A
+                results["best_test_mse_A"] = test_mse_A
+                model.save("best_A")
+                save_results(opt.expr_dir, results)
+                res_str_list += ["*** BEST DEV A ***"]
+            print_log(out_f, "\n".join(["-" * 60] + res_str_list + ["-" * 60]))
+
+        if epoch % opt.eval_B_freq == 0:
+            t = time.time()
+            steps = 1 if opt.model == "cycle_gan" else 50
+            dev_ubo_B, dev_bpp_B, dev_kld_B = eval_ubo_B(
+                dev_dataset, model, steps, True, "pred_B_%d" % epoch,
+                opt.vis_pred_B)
+            test_ubo_B, test_bpp_B, test_kld_B = eval_ubo_B(
+                test_dataset, model, steps, False, "pred_B", opt.vis_pred_B)
+            t = time.time() - t
+            history_ubo_B.append((dev_ubo_B, dev_bpp_B, dev_kld_B,
+                                  test_ubo_B, test_bpp_B, test_kld_B))
+            np.save(os.path.join(opt.expr_dir, "history_ubo_B"),
+                    history_ubo_B)
+            res_str_list = ["[%d] DEV_BPP_B: %.4f, TEST_BPP_B: %.4f, "
+                            "TIME: %.4f" % (epoch, dev_bpp_B, test_bpp_B, t)]
+            if dev_bpp_B < results["best_dev_bpp_B"]:
+                with open(os.path.join(opt.expr_dir, "best_bpp_B.txt"),
+                          "w") as f:
+                    f.write(res_str_list[0] + "\n")
+                results["best_dev_bpp_B"] = dev_bpp_B
+                results["best_test_bpp_B"] = test_bpp_B
+                save_results(opt.expr_dir, results)
+                model.save("best_B")
+                res_str_list += ["*** BEST BPP B ***"]
+            print_log(out_f, "\n".join(["-" * 60] + res_str_list + ["-" * 60]))
+
+        print_log(out_f, "End of epoch %d / %d \t Time Taken: %d sec"
+                  % (epoch, opt.niter + opt.niter_decay,
+                     time.time() - epoch_start_time))
+
+        if epoch > opt.niter:
+            model.update_learning_rate()
+
+    out_f.close()
+    return model
+
+
+if __name__ == "__main__":
+    train_model()

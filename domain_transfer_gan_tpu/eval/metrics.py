@@ -1,0 +1,387 @@
+"""Evaluation metrics (reference evaluate.py + test.py helpers), rebuilt as
+jitted device-side computations.
+
+The variational UBO — the reference's most expensive eval path (an RMSprop
+optimization over per-sample (mu, logvar) *through* the generator,
+evaluate.py:21-148) — runs as a `lax.scan` inside one compiled program with
+frozen generator parameters: steps x (G forward + backward) with zero host
+round-trips.  Evaluation constants are derived from actual tensor shapes
+(fixing quirk Q5: the reference hardcoded 3*64*64); set
+``opt.legacy_eval_constants`` to reproduce the reference's numbers on
+non-64x64 data.
+
+torch-RMSprop semantics are implemented exactly (alpha=0.99, eps=1e-8,
+sq_avg update then p -= lr * g / (sqrt(sq_avg) + eps)).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.numerics import (
+    gauss_reparametrize_eps,
+    kld_std_gauss,
+    log_prob_gaussian,
+    log_prob_laplace,
+    nats2bpp,
+)
+from .visualize import visualize_data
+
+RMS_ALPHA = 0.99
+RMS_EPS = 1e-8
+RMS_LR = 1e-2
+
+
+def _npix(model, real_B) -> float:
+    if getattr(model.opt, "legacy_eval_constants", False):
+        return 64 * 64 * 3  # reference evaluate.py:104,107 (quirk Q5)
+    return float(np.prod(real_B.shape[1:]))
+
+
+# ---------------------------------------------------------------------------
+# MSE_A  (reference evaluate.py:10-19)
+# ---------------------------------------------------------------------------
+
+def eval_mse_A(dataset, model) -> float:
+    if "mse_A" not in model._jit_cache:
+        net = model.nets["netG_B_A"]
+
+        @jax.jit
+        def f(params, stats, real_A, real_B):
+            variables = {"params": params}
+            if stats:
+                variables["batch_stats"] = stats
+            pred_A = net.apply(variables, real_B, train=False)
+            return jnp.mean((pred_A - real_A) ** 2)
+
+        model._jit_cache["mse_A"] = f
+    f = model._jit_cache["mse_A"]
+    vals = []
+    for batch in dataset:
+        vals.append(f(model.state.params["netG_B_A"],
+                      model.state.batch_stats["netG_B_A"],
+                      jnp.asarray(batch["A"]), jnp.asarray(batch["B"])))
+    return float(np.mean([float(v) for v in vals]))
+
+
+# ---------------------------------------------------------------------------
+# Variational UBO / BPP  (reference evaluate.py:21-148)
+# ---------------------------------------------------------------------------
+
+def _predict_B_fn(model):
+    """(params, stats, real_A, z) -> fake_B with the cycle_gan z-override."""
+    net = model.nets["netG_A_B"]
+    ignore_noise = getattr(model, "ignore_noise", False)
+
+    def f(params, stats, real_A, z):
+        if ignore_noise:
+            z = jnp.ones_like(z)
+        variables = {"params": params}
+        if stats:
+            variables["batch_stats"] = stats
+        return net.apply(variables, real_A, z, train=False)
+
+    return f
+
+
+def _make_ubo_chunk(model):
+    predict_B = _predict_B_fn(model)
+
+    def chunk(params, stats, real_A, real_B_deq, mu, logvar, sq_mu, sq_lv,
+              key, logvar_B, npix, steps):
+        def body(carry, _):
+            mu, logvar, sq_mu, sq_lv, key = carry
+            key, k = jax.random.split(key)
+            eps = jax.random.normal(k, mu.shape, mu.dtype)
+
+            def loss_fn(mu, logvar):
+                z = gauss_reparametrize_eps(mu, logvar, eps)
+                fake_B = predict_B(params, stats, real_A, z)
+                lp = log_prob_laplace(real_B_deq, fake_B, logvar_B)
+                lp = jnp.sum(lp.reshape(lp.shape[0], -1), axis=1)
+                kld = kld_std_gauss(mu, logvar)
+                ubo = (-lp + kld) + npix * math.log(127.5)
+                return jnp.mean(ubo), (jnp.mean(ubo), jnp.mean(kld))
+
+            (_, (ubo, kld)), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(mu, logvar)
+            g_mu, g_lv = grads
+            sq_mu = RMS_ALPHA * sq_mu + (1 - RMS_ALPHA) * g_mu ** 2
+            sq_lv = RMS_ALPHA * sq_lv + (1 - RMS_ALPHA) * g_lv ** 2
+            mu = mu - RMS_LR * g_mu / (jnp.sqrt(sq_mu) + RMS_EPS)
+            logvar = logvar - RMS_LR * g_lv / (jnp.sqrt(sq_lv) + RMS_EPS)
+            return (mu, logvar, sq_mu, sq_lv, key), (ubo, kld)
+
+        (mu, logvar, sq_mu, sq_lv, key), ys = jax.lax.scan(
+            body, (mu, logvar, sq_mu, sq_lv, key), None, length=steps)
+        # metrics of the LAST iterate (pre-update values of the final step,
+        # matching the reference's returned ubo_val/kld_val/bpp)
+        return mu, logvar, sq_mu, sq_lv, key, ys[0][-1], ys[1][-1]
+
+    return jax.jit(chunk, static_argnames=("steps",))
+
+
+def variational_ubo(model, real_A, real_B, steps: int, visualize: bool = False,
+                    vis_name=None, vis_path=None, verbose: bool = False,
+                    logvar_B=None, vis_batch: int = 25,
+                    compute_l1: bool = False):
+    """Iterative variational upper bound on -log p(B|A).
+
+    Returns (ubo, kld, bpp) of the final iterate, like the reference.
+    """
+    if visualize:
+        assert vis_name is not None and vis_path is not None
+    real_A = jnp.asarray(real_A)
+    real_B = jnp.asarray(real_B)
+    n = real_A.shape[0]
+    nlat = model.opt.nlatent
+    npix = _npix(model, real_B)
+
+    key = model.next_key()
+    key, k_deq = jax.random.split(key)
+    dequant = jax.random.uniform(k_deq, real_B.shape, real_B.dtype,
+                                 0.0, 1.0 / 127.5)
+    real_B_deq = real_B + dequant
+
+    if logvar_B is None:
+        logvar_B = jnp.full((1,) + real_B.shape[1:], math.log(0.01),
+                            real_B.dtype)
+    else:
+        logvar_B = jnp.asarray(logvar_B)
+        if logvar_B.ndim == 4 and logvar_B.shape[-1] != real_B.shape[-1]:
+            logvar_B = jnp.transpose(logvar_B, (0, 2, 3, 1))  # NCHW compat
+
+    # init q params: zeros / log(0.01), overridden by the encoder if present
+    mu = jnp.zeros((n, nlat), real_B.dtype)
+    logvar = jnp.full((n, nlat), math.log(0.01), real_B.dtype)
+    if "netE_B" in model.nets:
+        params = model.predict_enc_params(real_A, real_B)
+        mu = jnp.asarray(params[0])
+        if len(params) == 2:
+            logvar = jnp.asarray(params[1])
+
+    if "ubo_chunk" not in model._jit_cache:
+        model._jit_cache["ubo_chunk"] = _make_ubo_chunk(model)
+    chunk = model._jit_cache["ubo_chunk"]
+
+    gp = model.state.params["netG_A_B"]
+    gs = model.state.batch_stats["netG_A_B"]
+    sq_mu = jnp.zeros_like(mu)
+    sq_lv = jnp.zeros_like(logvar)
+
+    predict_B = _predict_B_fn(model)
+
+    def vis_dump(tag):
+        z_vis = (gauss_reparametrize_eps(
+            mu, logvar, jax.random.normal(model.next_key(), mu.shape))
+            if model.opt.stoch_enc else mu)[:vis_batch]
+        vis_B = predict_B(gp, gs, real_A[:vis_batch], z_vis)
+        save_path = os.path.join(vis_path, "%s_%s.png" % (vis_name, tag))
+        visualize_data(model.opt, [np.asarray(real_A[:vis_batch]),
+                                   np.asarray(real_B[:vis_batch]),
+                                   np.asarray(vis_B)],
+                       real_A[:vis_batch].shape, save_path)
+
+    if visualize:
+        vis_dump("0")
+
+    done = 0
+    ubo_val = kld_val = float("nan")
+    while done < steps:
+        todo = min(100, steps - done)  # vis cadence = 100 (evaluate.py:134)
+        mu, logvar, sq_mu, sq_lv, key, ubo_dev, kld_dev = chunk(
+            gp, gs, real_A, real_B_deq, mu, logvar, sq_mu, sq_lv, key,
+            logvar_B, npix, todo)
+        done += todo
+        ubo_val, kld_val = float(ubo_dev), float(kld_dev)
+        bpp = ubo_val / (npix * math.log(2.0))
+        if verbose:
+            msg = "[%d] UBO: %.4f, KLD: %.4f, BPP: %.4f" % (done, ubo_val,
+                                                            kld_val, bpp)
+            if compute_l1:
+                z_l1 = mu if not model.opt.stoch_enc else None
+                if z_l1 is not None:
+                    rec_B = predict_B(gp, gs, real_A, z_l1)
+                    msg += ", L1: %.4f" % float(jnp.mean(jnp.abs(real_B_deq - rec_B)))
+            print(msg)
+        if visualize and done % 100 == 0 and done < steps:
+            vis_dump(str(done))
+
+    bpp = ubo_val / (npix * math.log(2.0))
+    return ubo_val, kld_val, bpp
+
+
+def eval_ubo_B(dataset, model, steps: int = 500, visualize: bool = False,
+               vis_name=None, vis_path=None, verbose: bool = False,
+               logvar_B=None, vis_batch: int = 25, compute_l1: bool = False):
+    """Mean UBO/BPP/KLD over the dataset (reference evaluate.py:21-37)."""
+    ubo_B, bpp_B, kld_B = [], [], []
+    first = True
+    for batch in dataset:
+        ubo, kld, bpp = variational_ubo(
+            model, batch["A"], batch["B"], steps,
+            visualize and first, vis_name, vis_path, verbose, logvar_B,
+            vis_batch, compute_l1)
+        first = False
+        ubo_B.append(ubo)
+        bpp_B.append(bpp)
+        kld_B.append(kld)
+    return float(np.mean(ubo_B)), float(np.mean(bpp_B)), float(np.mean(kld_B))
+
+
+# ---------------------------------------------------------------------------
+# decoder-logvar fitting  (reference test.py:137-174)
+# ---------------------------------------------------------------------------
+
+def train_logvar(dataset, model, epochs: int = 1):
+    """Fit the decoder's pixelwise logvar_B on train data by minimizing the
+    UBO with everything else frozen."""
+    shape = None
+    predict_B = _predict_B_fn(model)
+    net_A = model.nets["netG_B_A"]
+
+    def make_step():
+        @jax.jit
+        def step(gp, gs, pa, ps, e_params, e_stats, logvar_B, sq, real_B, key,
+                 npix):
+            k_deq, k_eps = jax.random.split(key)
+            dequant = jax.random.uniform(k_deq, real_B.shape, real_B.dtype,
+                                         0.0, 1.0 / 127.5)
+            rb = real_B + dequant
+            va = {"params": pa}
+            if ps:
+                va["batch_stats"] = ps
+            fake_A = net_A.apply(va, rb, train=False)
+            if "netE_B" in model.nets:
+                enc_in = (jnp.concatenate([fake_A, rb], axis=-1)
+                          if model.opt.enc_A_B else rb)
+                ve = {"params": e_params}
+                if e_stats:
+                    ve["batch_stats"] = e_stats
+                mu, logvar = model.nets["netE_B"].apply(ve, enc_in, train=False)
+                if not model.opt.stoch_enc:
+                    logvar = jnp.full_like(logvar, math.log(0.01))
+            else:
+                mu = jnp.zeros((real_B.shape[0], model.opt.nlatent))
+                logvar = jnp.full_like(mu, math.log(0.01))
+            eps = jax.random.normal(k_eps, mu.shape, mu.dtype)
+            z = gauss_reparametrize_eps(mu, logvar, eps)
+            fake_B = predict_B(gp, gs, fake_A, z)
+
+            def loss_fn(lvB):
+                lp = log_prob_laplace(rb, fake_B, lvB)
+                lp = jnp.sum(lp.reshape(lp.shape[0], -1), axis=1)
+                kld = kld_std_gauss(mu, logvar)
+                ubo = (-lp + kld) + npix * math.log(127.5)
+                return jnp.mean(ubo)
+
+            ubo, g = jax.value_and_grad(loss_fn)(logvar_B)
+            sq = RMS_ALPHA * sq + (1 - RMS_ALPHA) * g ** 2
+            logvar_B = logvar_B - RMS_LR * g / (jnp.sqrt(sq) + RMS_EPS)
+            return logvar_B, sq, ubo
+
+        return step
+
+    step = make_step()
+    logvar_B = sq = None
+    for _ in range(epochs):
+        for batch in dataset:
+            real_B = jnp.asarray(batch["B"])
+            if logvar_B is None:
+                shape = (1,) + real_B.shape[1:]
+                logvar_B = jnp.full(shape, math.log(0.01), real_B.dtype)
+                sq = jnp.zeros_like(logvar_B)
+            npix = _npix(model, real_B)
+            logvar_B, sq, ubo = step(
+                model.state.params["netG_A_B"],
+                model.state.batch_stats["netG_A_B"],
+                model.state.params["netG_B_A"],
+                model.state.batch_stats["netG_B_A"],
+                model.state.params.get("netE_B", {}),
+                model.state.batch_stats.get("netE_B", {}),
+                logvar_B, sq, real_B, model.next_key(), npix)
+    return logvar_B
+
+
+# ---------------------------------------------------------------------------
+# MVGauss BPP baseline  (reference test.py:92-134)
+# ---------------------------------------------------------------------------
+
+def train_mvgauss_B(dataset):
+    b_mean, n = 0.0, 0
+    for batch in dataset:
+        b_mean = b_mean + np.mean(np.asarray(batch["B"]), axis=0,
+                                  keepdims=True)
+        n += 1
+    b_mean = b_mean / n
+    b_var = 0.0
+    for batch in dataset:
+        b_var = b_var + np.mean(
+            (np.asarray(batch["B"]) - b_mean) ** 2, axis=0, keepdims=True)
+    b_var = b_var / n
+    return b_mean, b_var
+
+
+def eval_bpp_mvgauss_B(dataset, mu, logvar, npix=None, rng=None):
+    rng = rng or np.random.RandomState(0)
+    bpp = []
+    for batch in dataset:
+        real_B = np.asarray(batch["B"])
+        np_here = npix or float(np.prod(real_B.shape[1:]))
+        real_B = real_B + rng.uniform(0, 1.0 / 127.5,
+                                      real_B.shape).astype(real_B.dtype)
+        nll = -np.asarray(log_prob_gaussian(jnp.asarray(real_B),
+                                            jnp.asarray(mu),
+                                            jnp.asarray(logvar)))
+        nll = nll.reshape(real_B.shape[0], -1).sum(1) + np_here * math.log(127.5)
+        bpp.append(nll.mean() / (np_here * math.log(2)))
+    return float(np.mean(bpp))
+
+
+def compute_bpp_mvgauss_B(dataset_train, dataset_test, npix=None):
+    mvg_mean, mvg_var = train_mvgauss_B(dataset_train)
+    mvg_logvar = np.log(mvg_var + 1e-5)
+    bpp = eval_bpp_mvgauss_B(dataset_test, mvg_mean, mvg_logvar, npix)
+    print("MVGauss BPP: %.4f" % bpp)
+    return bpp
+
+
+# ---------------------------------------------------------------------------
+# noise sensitivity  (reference test.py:80-90; arXiv:1712.02950)
+# ---------------------------------------------------------------------------
+
+def sensitivity_to_edge_noise(opt, model, data_B, save_path="noise_sens.npy"):
+    """Per-sample L1(real_B, rec_B) under increasing noise injected into the
+    intermediate fake_A; saves the curve to noise_sens.npy."""
+    res = []
+    real_B = jnp.asarray(data_B)
+    npix = (64 * 64 * 3 if getattr(opt, "legacy_eval_constants", False)
+            else float(np.prod(real_B.shape[1:])))
+    for std in [0, 0.1, 0.2, 0.5, 1, 2, 3, 5]:
+        rec_B = model.generate_noisy_cycle(real_B, std)
+        s = jnp.sum(jnp.abs(real_B - rec_B),
+                    axis=(1, 2, 3)) / npix
+        res.append(np.asarray(s).tolist())
+    np.save(save_path.replace(".npy", ""), res)
+    return res
+
+
+def compute_train_kld(train_dataset, model, max_batches: int = 100):
+    """Debug helper (reference test.py:177-190)."""
+    train_kl = []
+    for i, batch in enumerate(train_dataset):
+        real_B = jnp.asarray(batch["B"])
+        fake_A = model.predict_A(real_B)
+        params = model.predict_enc_params(fake_A, real_B)
+        mu = params[0]
+        train_kl.append(float(jnp.mean(kld_std_gauss(mu, 0.0 * mu))))
+        if i == max_batches:
+            break
+    print("train KL:", np.mean(train_kl))
+    return float(np.mean(train_kl))

@@ -1,0 +1,379 @@
+"""Model classes mirroring the reference's per-model API surface
+(model.py:75-325 StochCycleGAN, model.py:337-795 AugmentedCycleGAN):
+
+train_instance / supervised_train_instance / generate_cycle / generate_multi /
+generate_multi_cycle / generate_cycle_B_multi / generate_noisy_cycle /
+inference_multi / predict_A / predict_B / predict_enc_params /
+update_learning_rate / save / load / eval / train.
+
+All tensors are NHWC; latent codes are flat (B, nlatent).  Every compute
+entry point is jitted; the train steps donate the TrainState so device
+memory stays flat.  Generation helpers never mutate batch-norm running
+stats (the reference incidentally updated them during train-mode visual
+dumps; outputs are identical either way since training-mode batch norm
+ignores running stats).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from collections import OrderedDict
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from ..config import TrainConfig
+from ..nn import networks as N
+from ..ops.numerics import gauss_reparametrize
+from .state import TrainState, init_state
+from .steps import (
+    apply_net,
+    make_aug_supervised_step,
+    make_aug_train_step,
+    make_stoch_train_step,
+)
+
+
+def _as_jnp(x):
+    return x if isinstance(x, jax.Array) else jnp.asarray(x)
+
+
+class _CycleGANBase:
+    """Shared plumbing: state, jit caches, lr schedule, checkpoint IO."""
+
+    net_names: Tuple[str, ...] = ()
+
+    def __init__(self, opt: TrainConfig, testing: bool = False,
+                 rng: Optional[jax.Array] = None, image_size: Optional[int] = None):
+        self.opt = opt
+        self.old_lr = opt.lr
+        self.epoch = opt.epoch_count
+        self.training = True
+        seed = opt.seed if opt.seed is not None else 0
+        root = rng if rng is not None else jax.random.PRNGKey(seed)
+        self._rng, init_key = jax.random.split(root)
+        self.nets, self.state = init_state(opt, init_key, image_size=image_size)
+        self._step_counter = 0
+
+        if not testing and opt.expr_dir:
+            with open(os.path.join(opt.expr_dir, "nets.txt"), "w") as f:
+                for name in self.net_names:
+                    N.print_network(name, self.state.params[name], f)
+
+        self._jit_cache: Dict[str, Any] = {}
+
+    # -- rng ------------------------------------------------------------
+    def next_key(self) -> jax.Array:
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def sample_prior_z(self, batch: int) -> jax.Array:
+        return jax.random.normal(self.next_key(), (batch, self.opt.nlatent))
+
+    # -- forward helpers (jitted, train-flag static) --------------------
+    def _apply(self, name: str, *args, train: Optional[bool] = None):
+        train = self.training if train is None else train
+        key = ("apply", name, train)
+        if key not in self._jit_cache:
+            net = self.nets[name]
+
+            @functools.partial(jax.jit, static_argnames=())
+            def f(params, stats, *xs):
+                out, _ = apply_net(net, params, stats, *xs, train=train)
+                return out
+
+            self._jit_cache[key] = f
+        return self._jit_cache[key](self.state.params[name],
+                                    self.state.batch_stats[name], *args)
+
+    def predict_A(self, real_B):
+        return self._apply("netG_B_A", _as_jnp(real_B))
+
+    def predict_B(self, real_A, z_B):
+        z_B = _as_jnp(z_B)
+        if z_B.ndim == 4:
+            z_B = z_B.reshape(z_B.shape[0], -1)
+        return self._apply("netG_A_B", _as_jnp(real_A), z_B)
+
+    # -- lr schedule (reference model.py:282-291) -----------------------
+    def update_learning_rate(self):
+        lrd = self.opt.lr / self.opt.niter_decay
+        lr = self.old_lr - lrd
+        print("update learning rate: %f -> %f" % (self.old_lr, lr))
+        self.old_lr = lr
+
+    # -- mode toggles ---------------------------------------------------
+    def eval(self):
+        self.training = False
+
+    def train(self):
+        self.training = True
+
+    # -- checkpoint IO (same latest/best_A/best_B contract, §5) ---------
+    def _ckpt_payload(self) -> dict:
+        return {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "old_lr": np.float64(self.old_lr),
+            "epoch": np.int64(self.epoch),
+        }
+
+    def save(self, chk_name: str):
+        chk_path = os.path.join(self.opt.expr_dir, chk_name)
+        payload = jax.device_get(self._ckpt_payload())
+        with open(chk_path, "wb") as f:
+            f.write(serialization.to_bytes(payload))
+
+    def load(self, chk_path: str):
+        with open(chk_path, "rb") as f:
+            data = f.read()
+        payload = serialization.from_bytes(self._ckpt_payload(), data)
+        self.state = TrainState(
+            params=payload["params"], batch_stats=payload["batch_stats"],
+            opt_state=payload["opt_state"],
+            step=jnp.asarray(payload["step"], jnp.int32))
+        self.old_lr = float(payload["old_lr"])
+        self.epoch = int(payload["epoch"])
+
+    # -- shared generation helpers --------------------------------------
+    def generate_multi(self, real_A, multi_prior_z_B):
+        """Tile each A over num z's and decode in ONE batched forward
+        (reference model.py:268-280/687-696)."""
+        real_A = _as_jnp(real_A)
+        z = _as_jnp(multi_prior_z_B)
+        if z.ndim == 4:
+            z = z.reshape(z.shape[0], -1)
+        num = z.shape[0] // real_A.shape[0]
+        multi_A = jnp.repeat(real_A[:, None], num, axis=1).reshape(
+            (-1,) + real_A.shape[1:])
+        return self.predict_B(multi_A, z)
+
+    def generate_cycle_B_multi(self, real_B, multi_prior_z_B):
+        """B -> A once, then many z's for A -> B (model.py:235-245/698-708)."""
+        real_B = _as_jnp(real_B)
+        z = _as_jnp(multi_prior_z_B)
+        if z.ndim == 4:
+            z = z.reshape(z.shape[0], -1)
+        fake_A = self.predict_A(real_B)
+        num = z.shape[0] // real_B.shape[0]
+        multi_fake_A = jnp.repeat(fake_A[:, None], num, axis=1).reshape(
+            (-1,) + fake_A.shape[1:])
+        multi_fake_B = self.predict_B(multi_fake_A, z)
+        return fake_A, multi_fake_B
+
+
+class StochCycleGAN(_CycleGANBase):
+    """Stochastic CycleGAN; with ignore_noise=True it is the deterministic
+    `cycle_gan` variant (z forced to 1, reference model.py:128-129)."""
+
+    net_names = ("netG_A_B", "netG_B_A", "netD_A", "netD_B")
+
+    def __init__(self, opt: TrainConfig, ignore_noise: bool = False,
+                 testing: bool = False, **kw):
+        self.ignore_noise = ignore_noise
+        super().__init__(opt, testing=testing, **kw)
+        self._train_step = jax.jit(
+            make_stoch_train_step(self.nets, opt, ignore_noise),
+            donate_argnums=(0,))
+
+    def train_instance(self, real_A, real_B, prior_z_B=None):
+        real_A, real_B = _as_jnp(real_A), _as_jnp(real_B)
+        if prior_z_B is None:
+            prior_z_B = self.sample_prior_z(real_A.shape[0])
+        else:
+            prior_z_B = _as_jnp(prior_z_B)
+            if prior_z_B.ndim == 4:
+                prior_z_B = prior_z_B.reshape(prior_z_B.shape[0], -1)
+        self.state, losses, visuals, gnorms = self._train_step(
+            self.state, real_A, real_B, prior_z_B,
+            jnp.float32(self.old_lr), self.next_key())
+        order = ["D_A", "G_A", "Cyc_A", "D_B", "G_B", "Cyc_B",
+                 "P_t_A", "P_f_A", "P_t_B", "P_f_B"]
+        losses = OrderedDict((k, losses[k]) for k in order)
+        if self.opt.monitor_gnorm:
+            g = OrderedDict([("gnorm_G_A_B", gnorms["gnorm_G_A_B"]),
+                             ("gnorm_G_B_A", gnorms["gnorm_G_B_A"]),
+                             ("gnorm_D_B", gnorms["gnorm_D_B"]),
+                             ("gnorm_D_A", gnorms["gnorm_D_A"])])
+            return losses, visuals, g
+        return losses, visuals
+
+    def _prep_z(self, z):
+        z = _as_jnp(z)
+        if z.ndim == 4:
+            z = z.reshape(z.shape[0], -1)
+        return jnp.ones_like(z) if self.ignore_noise else z
+
+    def predict_B(self, real_A, z_B):
+        return super().predict_B(real_A, self._prep_z(z_B))
+
+    def generate_cycle(self, real_A, real_B, prior_z_B):
+        z = self._prep_z(prior_z_B)
+        fake_B = self.predict_B(real_A, z)
+        fake_A = self.predict_A(real_B)
+        rec_A = self.predict_A(fake_B)
+        rec_B = self.predict_B(fake_A, z)
+        return OrderedDict([("real_A", real_A), ("fake_B", fake_B),
+                            ("rec_A", rec_A), ("real_B", real_B),
+                            ("fake_A", fake_A), ("rec_B", rec_B)])
+
+    def generate_multi_cycle(self, real_B, steps: int):
+        images = [_as_jnp(real_B)]
+        B = images[0]
+        for _ in range(steps):
+            A = self.predict_A(B)
+            z = self.sample_prior_z(B.shape[0])
+            B = self.predict_B(A, z)
+            images.extend([A, B])
+        return images
+
+    def generate_noisy_cycle(self, real_B, std):
+        real_B = _as_jnp(real_B)
+        fake_A = self.predict_A(real_B)
+        z = self.sample_prior_z(real_B.shape[0])
+        noise_std = std / 127.5
+        noise = noise_std * jax.random.normal(self.next_key(), fake_A.shape)
+        noisy_fake_A = jnp.clip(fake_A + noise, -1, 1)
+        return self.predict_B(noisy_fake_A, z)
+
+
+class AugmentedCycleGAN(_CycleGANBase):
+    """Augmented CycleGAN (reference model.py:337-795): adds the latent
+    encoder E_B and latent discriminator D_z_B, 4 optimizers, latent cycle
+    and KLD/z-GAN losses."""
+
+    net_names = ("netG_A_B", "netG_B_A", "netD_A", "netD_B",
+                 "netD_z_B", "netE_B")
+
+    def __init__(self, opt: TrainConfig, testing: bool = False, **kw):
+        super().__init__(opt, testing=testing, **kw)
+        self._train_step = jax.jit(make_aug_train_step(self.nets, opt),
+                                   donate_argnums=(0,))
+        self._sup_step = jax.jit(make_aug_supervised_step(self.nets, opt),
+                                 donate_argnums=(0,))
+
+    def train_instance(self, real_A, real_B, prior_z_B=None):
+        real_A, real_B = _as_jnp(real_A), _as_jnp(real_B)
+        if prior_z_B is None:
+            prior_z_B = self.sample_prior_z(real_A.shape[0])
+        else:
+            prior_z_B = _as_jnp(prior_z_B)
+            if prior_z_B.ndim == 4:
+                prior_z_B = prior_z_B.reshape(prior_z_B.shape[0], -1)
+        self.state, losses, visuals, gnorms = self._train_step(
+            self.state, real_A, real_B, prior_z_B,
+            jnp.float32(self.old_lr), self.next_key())
+        order = ["D_A", "G_A", "Cyc_A", "Cyc_z_B", "KLD_z_B", "D_B", "G_B",
+                 "Cyc_B", "D_z_B", "P_t_A", "P_f_A", "P_t_B", "P_f_B"]
+        losses = OrderedDict((k, losses[k]) for k in order)
+        if self.opt.monitor_gnorm:
+            g = OrderedDict([("gnorm_G_A_B", gnorms["gnorm_G_A_B"]),
+                             ("gnorm_G_B_A", gnorms["gnorm_G_B_A"]),
+                             ("gnorm_E_B", gnorms["gnorm_E_B"]),
+                             ("gnorm_D_B", gnorms["gnorm_D_B"]),
+                             ("gnorm_D_z_B", gnorms["gnorm_D_z_B"]),
+                             ("gnorm_D_A", gnorms["gnorm_D_A"]),
+                             ("mu_min", gnorms["mu_min"]),
+                             ("mu_max", gnorms["mu_max"]),
+                             ("logvar_min", gnorms["logvar_min"]),
+                             ("logvar_max", gnorms["logvar_max"])])
+            return losses, visuals, g
+        return losses, visuals
+
+    def supervised_train_instance(self, real_A, real_B, prior_z_B=None):
+        real_A, real_B = _as_jnp(real_A), _as_jnp(real_B)
+        if prior_z_B is None:
+            prior_z_B = self.sample_prior_z(real_A.shape[0])
+        else:
+            prior_z_B = _as_jnp(prior_z_B)
+            if prior_z_B.ndim == 4:
+                prior_z_B = prior_z_B.reshape(prior_z_B.shape[0], -1)
+        self.state, losses = self._sup_step(
+            self.state, real_A, real_B, prior_z_B,
+            jnp.float32(self.old_lr), self.next_key())
+        order = ["S_A", "S_B", "KLD_z_B", "D_z_B", "gnorm_G_A_B",
+                 "gnorm_G_B_A", "gnorm_E_B", "gnorm_D_z_B"]
+        return OrderedDict((k, losses[k]) for k in order)
+
+    # -- posterior helpers ---------------------------------------------
+    def predict_enc_params(self, real_A, real_B):
+        real_A, real_B = _as_jnp(real_A), _as_jnp(real_B)
+        enc_in = (jnp.concatenate([real_A, real_B], axis=-1)
+                  if self.opt.enc_A_B else real_B)
+        mu, logvar = self._apply("netE_B", enc_in)
+        if self.opt.stoch_enc:
+            return mu, logvar
+        return (mu,)
+
+    def _posterior_z(self, real_A_ish, real_B):
+        enc_in = (jnp.concatenate([_as_jnp(real_A_ish), _as_jnp(real_B)],
+                                  axis=-1)
+                  if self.opt.enc_A_B else _as_jnp(real_B))
+        mu, logvar = self._apply("netE_B", enc_in)
+        if self.opt.stoch_enc:
+            return gauss_reparametrize(self.next_key(), mu, logvar)
+        return mu
+
+    def generate_cycle(self, real_A, real_B, prior_z_B):
+        prior_z_B = _as_jnp(prior_z_B)
+        if prior_z_B.ndim == 4:
+            prior_z_B = prior_z_B.reshape(prior_z_B.shape[0], -1)
+        fake_B = self.predict_B(real_A, prior_z_B)
+        fake_A = self.predict_A(real_B)
+        rec_A = self.predict_A(fake_B)
+        post_z = self._posterior_z(fake_A, real_B)
+        rec_B = self.predict_B(fake_A, post_z)
+        return OrderedDict([("real_A", real_A), ("fake_B", fake_B),
+                            ("rec_A", rec_A), ("real_B", real_B),
+                            ("fake_A", fake_A), ("rec_B", rec_B)])
+
+    def generate_noisy_cycle(self, real_B, std):
+        real_B = _as_jnp(real_B)
+        fake_A = self.predict_A(real_B)
+        noise_std = std / 127.5
+        noise = noise_std * jax.random.normal(self.next_key(), fake_A.shape)
+        noisy_fake_A = jnp.clip(fake_A + noise, -1, 1)
+        post_z = self._posterior_z(fake_A, real_B)
+        return self.predict_B(noisy_fake_A, post_z)
+
+    def generate_multi_cycle(self, real_B, steps: int, from_prior: bool = True):
+        images = [_as_jnp(real_B)]
+        B = images[0]
+        for _ in range(steps):
+            A = self.predict_A(B)
+            if from_prior:
+                z = self.sample_prior_z(B.shape[0])
+            else:
+                z = self._posterior_z(A, B)
+            B = self.predict_B(A, z)
+            images.extend([A, B])
+        return images
+
+    def inference_multi(self, real_A, real_B):
+        """Posterior-z transfer grid: every A decoded with every z inferred
+        from the B batch (reference model.py:710-733)."""
+        real_A, real_B = _as_jnp(real_A), _as_jnp(real_B)
+        num = real_B.shape[0]
+        multi_A = jnp.repeat(real_A[:, None], num, axis=1).reshape(
+            (-1,) + real_A.shape[1:])
+        fake_A = self.predict_A(real_B)
+        post_z = self._posterior_z(fake_A, real_B)
+        multi_z = jnp.tile(post_z, (real_A.shape[0], 1))
+        return self.predict_B(multi_A, multi_z)
+
+
+def create_model(opt: TrainConfig, testing: bool = False, **kw):
+    """Model dispatch (reference train.py:157-166)."""
+    if opt.model == "stoch_cycle_gan":
+        return StochCycleGAN(opt, testing=testing, **kw)
+    if opt.model == "cycle_gan":
+        return StochCycleGAN(opt, ignore_noise=True, testing=testing, **kw)
+    if opt.model == "aug_cycle_gan":
+        return AugmentedCycleGAN(opt, testing=testing, **kw)
+    raise NotImplementedError("Specified model is not implemented.")

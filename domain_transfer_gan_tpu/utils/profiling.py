@@ -1,0 +1,56 @@
+"""Tracing/profiling hooks — the TPU-native upgrade of the reference's
+wall-clock-only timing (reference train.py:172,243,307-308; SURVEY.md §5).
+
+- :class:`StepTimer` measures steady-state step time without forcing device
+  syncs every iteration (syncs only when a window closes).
+- :func:`maybe_profile` wraps a region in a jax.profiler trace when a
+  profile directory is configured (xprof/tensorboard-compatible).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Optional
+
+import jax
+
+
+class StepTimer:
+    """Windowed images/sec + step-time tracker.
+
+    call .tick(batch_size) per step; .window() returns and resets
+    (seconds_per_item, items_per_sec) for the elapsed window, syncing the
+    device once so async-dispatched work is counted honestly.
+    """
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self._t0 = time.perf_counter()
+        self._items = 0
+        self._steps = 0
+
+    def tick(self, n_items: int):
+        self._items += n_items
+        self._steps += 1
+
+    def window(self, sync_array=None):
+        if sync_array is not None:
+            jax.block_until_ready(sync_array)
+        dt = time.perf_counter() - self._t0
+        sec_per_item = dt / max(self._items, 1)
+        items_per_sec = self._items / dt if dt > 0 else float("inf")
+        out = (sec_per_item, items_per_sec, dt, self._steps)
+        self.reset()
+        return out
+
+
+@contextlib.contextmanager
+def maybe_profile(profile_dir: Optional[str]):
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            yield
+    else:
+        yield
