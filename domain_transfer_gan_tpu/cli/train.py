@@ -196,11 +196,21 @@ def train_model(opt: TrainConfig = None, argv=None):
             total_steps += opt.batchSize
             epoch_iter += opt.batchSize
 
+            # profile a steady-state window when --profile_dir is set
+            profiling = (opt.profile_dir and epoch == start_epoch
+                         and 10 <= i < 15)
+            if profiling and i == 10:
+                jax.profiler.start_trace(opt.profile_dir)
             out = model.train_instance(real_A, real_B)
             if opt.monitor_gnorm:
                 losses, visuals, gnorms = out
             else:
                 losses, visuals = out
+            if profiling and i == 14:
+                jax.block_until_ready(losses["D_A"])
+                jax.profiler.stop_trace()
+                print_log(out_f, "profiler trace written to %s"
+                          % opt.profile_dir)
 
             if opt.supervised:
                 sup_data = next(sup_iter)
@@ -241,7 +251,7 @@ def train_model(opt: TrainConfig = None, argv=None):
         if epoch % opt.save_epoch_freq == 0:
             print_log(out_f, "saving the model at the end of epoch %d, "
                       "iters %d" % (epoch, total_steps))
-            model.save("latest")
+            model.save("latest", async_save=True)
 
         # ----- evaluate mappings (reference train.py:256-305) -----------
         if epoch % opt.eval_A_freq == 0:
@@ -298,6 +308,7 @@ def train_model(opt: TrainConfig = None, argv=None):
         if epoch > opt.niter:
             model.update_learning_rate()
 
+    model.wait_for_saves()
     out_f.close()
     return model
 

@@ -281,9 +281,11 @@ extern "C" {
 
 // Read the named member ('data' by default) of one .npz (or a bare .npy)
 // into out (float32, C-order).  Returns ndim, fills shape[8]; negative on
-// error.  If out is null, only probes the shape.
-int npz_read_f32(const char* path, const char* member, float* out,
-                 int64_t out_capacity, int64_t* shape) {
+// error.  If out is null, only probes the shape.  If src_kind is non-null
+// it receives the source dtype kind character ('f', 'i', 'u', 'b') so
+// callers can preserve integer-scaling semantics (e.g. uint8 -> /255).
+int npz_read_f32_ex(const char* path, const char* member, float* out,
+                    int64_t out_capacity, int64_t* shape, char* src_kind) {
   Buffer zip;
   if (!read_file(path, &zip)) return -1;
 
@@ -311,6 +313,7 @@ int npz_read_f32(const char* path, const char* member, float* out,
   NpyInfo info;
   if (!parse_npy_header(npy, npy_len, &info)) return -5;
   if (info.fortran) return -6;
+  if (src_kind) *src_kind = info.kind;
   int64_t count = 1;
   for (size_t i = 0; i < info.shape.size() && i < 8; i++) {
     shape[i] = info.shape[i];
@@ -321,6 +324,11 @@ int npz_read_f32(const char* path, const char* member, float* out,
   if (count > out_capacity) return -7;
   if (!to_float32(npy + info.payload_offset, info, count, out)) return -8;
   return ndim;
+}
+
+int npz_read_f32(const char* path, const char* member, float* out,
+                 int64_t out_capacity, int64_t* shape) {
+  return npz_read_f32_ex(path, member, out, out_capacity, shape, nullptr);
 }
 
 // Load n same-shaped samples (HWC each) from npz files in parallel into one
@@ -344,7 +352,7 @@ int npz_load_batch_f32(const char** paths, int64_t n, const char* member,
       int64_t i = next.fetch_add(1);
       if (i >= n || err.load()) break;
       float* dst = out + i * sample;
-      int ndim = npz_read_f32(paths[i], member, dst, sample, shape);
+      int ndim = npz_read_f32_ex(paths[i], member, dst, sample, shape, nullptr);
       if (ndim < 0) { err.store((int)i + 1); break; }
       // accept (h, w, c) or (h, w) with c==1
       int64_t got = 1;

@@ -51,8 +51,11 @@ def _load_arr(path) -> np.ndarray:
         return path
     from . import native
     if native.native_available():
-        arr = native.read_npz_f32(str(path))
+        arr, kind = native.read_npz_f32(str(path), return_kind=True)
         if arr is not None:
+            if kind == "u":
+                # preserve integer-image semantics (ToTensor-style /255)
+                return np.clip(arr, 0, 255).astype(np.uint8)
             return arr
     if str(path).endswith(".npy"):
         return np.load(path)

@@ -49,6 +49,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64)]
+    lib.npz_read_f32_ex.restype = ctypes.c_int
+    lib.npz_read_f32_ex.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_char)]
     lib.npz_load_batch_f32.restype = ctypes.c_int
     lib.npz_load_batch_f32.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_char_p,
@@ -66,22 +71,32 @@ def native_available() -> bool:
     return get_lib() is not None
 
 
-def read_npz_f32(path: str, member: str = "data") -> Optional[np.ndarray]:
-    """Read one npz/npy member as float32 via the native reader."""
+def read_npz_f32(path: str, member: str = "data",
+                 return_kind: bool = False):
+    """Read one npz/npy member as float32 via the native reader.
+
+    With return_kind, also returns the source dtype kind ('f'/'i'/'u'/'b')
+    so callers can preserve integer-image scaling (uint8 -> /255).
+    """
     lib = get_lib()
     if lib is None:
-        return None
+        return (None, None) if return_kind else None
     shape = (ctypes.c_int64 * 8)()
-    ndim = lib.npz_read_f32(path.encode(), member.encode(), None, 0, shape)
+    kind = ctypes.c_char(b"f")
+    ndim = lib.npz_read_f32_ex(path.encode(), member.encode(), None, 0,
+                               shape, ctypes.byref(kind))
     if ndim < 0:
-        return None
+        return (None, None) if return_kind else None
     dims = tuple(shape[i] for i in range(ndim))
     out = np.empty(dims, dtype=np.float32)
-    ndim2 = lib.npz_read_f32(
+    ndim2 = lib.npz_read_f32_ex(
         path.encode(), member.encode(),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out.size, shape)
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out.size, shape,
+        ctypes.byref(kind))
     if ndim2 < 0:
-        return None
+        return (None, None) if return_kind else None
+    if return_kind:
+        return out, kind.value.decode()
     return out
 
 

@@ -15,3 +15,5 @@ from .visualize import (
     save_image_grid,
     visualize_data,
 )
+from .fid import compute_fid, eval_fid_B, frechet_distance, \
+    random_feature_extractor

@@ -124,13 +124,27 @@ class _CycleGANBase:
             "epoch": np.int64(self.epoch),
         }
 
-    def save(self, chk_name: str):
+    def save(self, chk_name: str, async_save: bool = False):
+        """Write a checkpoint; with async_save the disk write happens on a
+        background thread (utils.checkpoint.AsyncCheckpointer) so the train
+        loop never stalls on IO."""
         chk_path = os.path.join(self.opt.expr_dir, chk_name)
+        if async_save:
+            if not hasattr(self, "_async_ckpt"):
+                from ..utils.checkpoint import AsyncCheckpointer
+                self._async_ckpt = AsyncCheckpointer()
+            self._async_ckpt.save(chk_path, self._ckpt_payload())
+            return
         payload = jax.device_get(self._ckpt_payload())
         with open(chk_path, "wb") as f:
             f.write(serialization.to_bytes(payload))
 
+    def wait_for_saves(self):
+        if hasattr(self, "_async_ckpt"):
+            self._async_ckpt.wait()
+
     def load(self, chk_path: str):
+        self.wait_for_saves()
         with open(chk_path, "rb") as f:
             data = f.read()
         payload = serialization.from_bytes(self._ckpt_payload(), data)

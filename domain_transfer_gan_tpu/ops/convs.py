@@ -37,7 +37,7 @@ def replicate_pad2d(x: jax.Array, pad: int) -> jax.Array:
 
 
 def conv2d_torch(x: jax.Array, w: jax.Array, b=None, stride: int = 1,
-                 padding: int = 0, preferred_dtype=jnp.float32) -> jax.Array:
+                 padding: int = 0, preferred_dtype=None) -> jax.Array:
     """2-D convolution with torch Conv2d geometry: symmetric `padding`,
     floor division output size.
 
@@ -58,7 +58,7 @@ def conv2d_torch(x: jax.Array, w: jax.Array, b=None, stride: int = 1,
 
 def conv_transpose2d_torch(x: jax.Array, w: jax.Array, b=None, stride: int = 2,
                            padding: int = 1, output_padding: int = 1,
-                           preferred_dtype=jnp.float32) -> jax.Array:
+                           preferred_dtype=None) -> jax.Array:
     """ConvTranspose2d with torch geometry via input dilation.
 
     torch: out = (in - 1)*stride - 2*padding + kernel + output_padding.

@@ -1,0 +1,31 @@
+"""Proxy-FID sanity tests."""
+
+import numpy as np
+
+from domain_transfer_gan_tpu.eval import compute_fid, frechet_distance
+
+
+def test_frechet_distance_zero_for_identical():
+    mu = np.zeros(4)
+    s = np.eye(4)
+    assert abs(frechet_distance(mu, s, mu, s)) < 1e-8
+
+
+def test_frechet_distance_mean_shift():
+    mu1, mu2 = np.zeros(3), np.ones(3)
+    s = np.eye(3)
+    assert np.isclose(frechet_distance(mu1, s, mu2, s), 3.0, atol=1e-6)
+
+
+def test_compute_fid_orders_distributions():
+    # n samples must exceed the feature dim for a well-conditioned cov
+    from domain_transfer_gan_tpu.eval import random_feature_extractor
+    ext = random_feature_extractor(width=8)  # 32-dim features
+    rng = np.random.RandomState(0)
+    real = rng.uniform(-1, 1, (200, 16, 16, 3)).astype(np.float32)
+    close = real + 0.05 * rng.randn(*real.shape).astype(np.float32)
+    far = rng.randn(200, 16, 16, 3).astype(np.float32)
+    fid_same = compute_fid(real, real[::-1].copy(), ext)
+    fid_close = compute_fid(real, close, ext)
+    fid_far = compute_fid(real, far, ext)
+    assert abs(fid_same) < fid_close < fid_far

@@ -96,7 +96,8 @@ def test_criterion_gan_bce_matches_torch():
         got = float(criterion_gan(jnp.array(p), real, use_sigmoid=True))
         t = torch.ones if real else torch.zeros
         want = float(F.binary_cross_entropy(torch.tensor(p), t(1, 3)))
-        assert np.isclose(got, want, rtol=1e-5)
+        # fp32 log/mean accumulation differs slightly between backends
+        assert np.isclose(got, want, rtol=1e-4)
 
 
 def test_clip_grads_torch_semantics():

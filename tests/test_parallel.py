@@ -1,0 +1,89 @@
+"""Multi-device data-parallel tests on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from domain_transfer_gan_tpu.config import TrainConfig
+from domain_transfer_gan_tpu.models import create_model
+from domain_transfer_gan_tpu.parallel import (
+    DataParallel,
+    batch_sharding,
+    make_mesh,
+    prefetch_to_device,
+    shard_batch,
+)
+
+
+def tiny_cfg(**kw):
+    base = dict(model="aug_cycle_gan", grid_size=64, ngf=4, nef=4, ndf=4,
+                nlatent=8, batchSize=8, use_pallas=False, monitor_gnorm=True,
+                seed=1)
+    base.update(kw)
+    cfg = TrainConfig(**base)
+    cfg.expr_dir = ""
+    return cfg
+
+
+def test_mesh_has_8_cpu_devices():
+    assert len(jax.devices()) == 8, "conftest must force 8 virtual devices"
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_shard_batch_places_on_mesh():
+    mesh = make_mesh()
+    x = np.zeros((8, 4, 4, 3), np.float32)
+    xs = shard_batch(mesh, x)
+    assert xs.sharding == batch_sharding(mesh, 4)
+
+
+def test_data_parallel_step_runs_and_matches_single():
+    """The same batch gives identical losses data-parallel vs single-device
+    (up to reduction order)."""
+    rng = np.random.RandomState(0)
+    A = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    B = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    z = rng.randn(8, 8).astype(np.float32)
+
+    m1 = create_model(tiny_cfg(), testing=True)
+    l1, _, _ = m1.train_instance(A, B, z)
+
+    m2 = create_model(tiny_cfg(), testing=True)
+    dp = DataParallel(m2, num_devices=8)
+    l2, _, _ = dp.train_instance(A, B, z)
+
+    for k in l1:
+        assert np.isclose(float(l1[k]), float(l2[k]), rtol=2e-3, atol=2e-4), \
+            f"{k}: {float(l1[k])} vs {float(l2[k])}"
+
+
+def test_data_parallel_multiple_steps():
+    dp = DataParallel(create_model(tiny_cfg(model="stoch_cycle_gan"),
+                                   testing=True), num_devices=4)
+    rng = np.random.RandomState(1)
+    for _ in range(2):
+        A = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+        B = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+        losses, _, _ = dp.train_instance(A, B)
+    for k, v in losses.items():
+        assert np.isfinite(float(v))
+    assert int(dp.state.step) == 2
+
+
+def test_prefetch_to_device():
+    mesh = make_mesh(num_devices=2)
+    batches = [{"A": np.full((4, 2, 2, 3), i, np.float32)} for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), mesh))
+    assert len(out) == 5
+    assert float(out[3]["A"][0, 0, 0, 0]) == 3.0
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    y = jax.jit(fn)(*args)
+    assert y.shape == (8, 64, 64, 3)
+    g.dryrun_multichip(8)
