@@ -104,7 +104,7 @@ class TrainConfig:
     # ---- NEW: TPU-native knobs -------------------------------------------
     n_blocks: int = 3              # reference hardcodes 3 (Q1); honored here
     init_scheme: str = "reference"  # {reference, sane}: Q7 init quirks switch
-    use_pallas: bool = True        # fused Pallas kernels for IN/CIN hot blocks
+    use_pallas: bool = False       # opt-in fused Pallas kernels for IN/CIN blocks
     compute_dtype: str = "float32"  # {float32, bfloat16} conv compute dtype
     data_axis: str = "data"        # mesh axis name for data parallelism
     num_devices: int = 0           # 0 = all visible devices
