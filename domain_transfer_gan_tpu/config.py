@@ -111,6 +111,7 @@ class TrainConfig:
     dev_size: int = 200            # DEV_SIZE split (reference dataloader.py:11)
     legacy_eval_constants: bool = False  # reproduce Q5 hardcoded 3*64*64 consts
     profile_dir: str = ""          # if set, dump jax profiler traces here
+    remat: bool = False            # rematerialize generator activations in bwd
 
     # derived (filled by parse/finalize)
     expr_dir: str = ""
@@ -223,6 +224,7 @@ class TrainOptions:
         p.add_argument("--num_devices", type=int, default=d.num_devices)
         p.add_argument("--dev_size", type=int, default=d.dev_size)
         p.add_argument("--legacy_eval_constants", action="store_true")
+        p.add_argument("--remat", action="store_true")
         p.add_argument("--profile_dir", type=str, default=d.profile_dir)
         self.initialized = True
 

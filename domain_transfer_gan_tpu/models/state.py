@@ -97,6 +97,16 @@ def build_networks(cfg: TrainConfig) -> Dict[str, Any]:
                                           use_sigmoid=cfg.use_sigmoid,
                                           init_scheme=cfg.init_scheme,
                                           dtype=dtype)
+    if getattr(cfg, "remat", False):
+        # trade FLOPs for HBM traffic: recompute generator activations in the
+        # backward pass instead of saving them (the step is bandwidth-bound)
+        import flax.linen as fnn
+        for name in ("netG_A_B", "netG_B_A"):
+            mod = nets[name]
+            nets[name] = fnn.remat(type(mod))(
+                **{f.name: getattr(mod, f.name)
+                   for f in mod.__dataclass_fields__.values()
+                   if f.name not in ("parent", "name")})
     return nets
 
 

@@ -33,11 +33,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Per-(1, HW, Ct) block budget in *lane-padded* fp32 bytes.  The backward
-# kernel holds three such blocks (x, dy, dx), each double-buffered, so the
-# VMEM stack is ~6x this number — 1 MiB keeps it well under the 16 MiB core
-# limit (an earlier 6 MiB budget OOM'd at 17.9M scoped vmem on v5e).
-_VMEM_BLOCK_BUDGET = 1 * 1024 * 1024
+# Per-(Nt, HW, Ct) block budget in *lane-padded* fp32 bytes.  Empirically the
+# backward kernel's VMEM stack is ~9x the block size (x/dy/dx blocks, double
+# buffered, plus pipeline slack): a 2 MiB block OOM'd at 17.91M scoped vmem
+# on v5e (16 MiB core limit), so the budget is 1.25 MiB.
+_VMEM_BLOCK_BUDGET = 5 * 1024 * 1024 // 4
 
 _LANE = 128
 
@@ -59,6 +59,16 @@ def _pick_ct(hw: int, c: int) -> Optional[int]:
     return None
 
 
+def _pick_nt(n: int, hw: int, ct: int) -> int:
+    """Samples per block: amortize grid-step overhead across the batch
+    (a per-sample grid serializes tiny blocks and starves the VPU)."""
+    per_sample = _padded_bytes(hw, ct)
+    nt = max(1, _VMEM_BLOCK_BUDGET // per_sample)
+    while nt > 1 and n % nt:
+        nt -= 1
+    return nt
+
+
 def pallas_supported(hw: int, c: int) -> bool:
     return _pick_ct(hw, c) is not None
 
@@ -73,20 +83,20 @@ def _interpret() -> bool:
 
 def _fwd_kernel(x_ref, scale_ref, shift_ref, y_ref, mean_ref, rstd_ref,
                 *, eps: float, unbiased: bool, relu: bool, hw: int):
-    x = x_ref[0].astype(jnp.float32)                       # (HW, Ct)
-    mean = jnp.mean(x, axis=0, keepdims=True)              # (1, Ct)
+    x = x_ref[...].astype(jnp.float32)                     # (Nt, HW, Ct)
+    mean = jnp.mean(x, axis=1, keepdims=True)              # (Nt, 1, Ct)
     centered = x - mean
-    var = jnp.mean(centered * centered, axis=0, keepdims=True)
+    var = jnp.mean(centered * centered, axis=1, keepdims=True)
     if unbiased:
         var = var * (hw / max(hw - 1, 1))
     rstd = jax.lax.rsqrt(var + eps)
     y = centered * rstd
-    y = y * scale_ref[0].astype(jnp.float32) + shift_ref[0].astype(jnp.float32)
+    y = y * scale_ref[...].astype(jnp.float32) + shift_ref[...].astype(jnp.float32)
     if relu:
         y = jnp.maximum(y, 0.0)
-    y_ref[0] = y.astype(y_ref.dtype)
-    mean_ref[0] = mean
-    rstd_ref[0] = rstd
+    y_ref[...] = y.astype(y_ref.dtype)
+    mean_ref[...] = mean
+    rstd_ref[...] = rstd
 
 
 def _fwd(x3, scale3, shift3, eps, unbiased, relu):
@@ -94,10 +104,11 @@ def _fwd(x3, scale3, shift3, eps, unbiased, relu):
     n, hw, c = x3.shape
     ct = _pick_ct(hw, c)
     assert ct is not None
-    grid = (n, c // ct)
-    spec_x = pl.BlockSpec((1, hw, ct), lambda i, j: (i, 0, j),
+    nt = _pick_nt(n, hw, ct)
+    grid = (n // nt, c // ct)
+    spec_x = pl.BlockSpec((nt, hw, ct), lambda i, j: (i, 0, j),
                           memory_space=pltpu.VMEM)
-    spec_nc = pl.BlockSpec((1, 1, ct), lambda i, j: (i, 0, j),
+    spec_nc = pl.BlockSpec((nt, 1, ct), lambda i, j: (i, 0, j),
                            memory_space=pltpu.VMEM)
     kernel = functools.partial(_fwd_kernel, eps=eps, unbiased=unbiased,
                                relu=relu, hw=hw)
@@ -123,41 +134,42 @@ def _fwd(x3, scale3, shift3, eps, unbiased, relu):
 def _bwd_kernel(x_ref, dy_ref, mean_ref, rstd_ref, scale_ref, shift_ref,
                 dx_ref, dscale_ref, dshift_ref,
                 *, unbiased: bool, relu: bool, hw: int):
-    x = x_ref[0].astype(jnp.float32)                       # (HW, Ct)
-    dy = dy_ref[0].astype(jnp.float32)
-    mean = mean_ref[0]                                     # (1, Ct)
-    rstd = rstd_ref[0]
+    x = x_ref[...].astype(jnp.float32)                     # (Nt, HW, Ct)
+    dy = dy_ref[...].astype(jnp.float32)
+    mean = mean_ref[...]                                   # (Nt, 1, Ct)
+    rstd = rstd_ref[...]
     centered = x - mean
     xhat = centered * rstd
 
-    s = scale_ref[0].astype(jnp.float32)
-    t = shift_ref[0].astype(jnp.float32)
+    s = scale_ref[...].astype(jnp.float32)
+    t = shift_ref[...].astype(jnp.float32)
     if relu:
         pre = xhat * s + t
         dy = jnp.where(pre > 0.0, dy, 0.0)
 
-    dshift = jnp.sum(dy, axis=0, keepdims=True)            # (1, Ct)
-    dscale = jnp.sum(dy * xhat, axis=0, keepdims=True)
+    dshift = jnp.sum(dy, axis=1, keepdims=True)            # (Nt, 1, Ct)
+    dscale = jnp.sum(dy * xhat, axis=1, keepdims=True)
 
     dxhat = dy * s
     divisor = float(hw - 1 if unbiased else hw)
-    sum_dxhat = jnp.sum(dxhat, axis=0, keepdims=True)
-    sum_dxhat_c = jnp.sum(dxhat * centered, axis=0, keepdims=True)
+    sum_dxhat = jnp.sum(dxhat, axis=1, keepdims=True)
+    sum_dxhat_c = jnp.sum(dxhat * centered, axis=1, keepdims=True)
     dx = (dxhat * rstd
           - sum_dxhat * rstd * (1.0 / hw)
           - centered * (rstd ** 3) * (sum_dxhat_c / divisor))
-    dx_ref[0] = dx.astype(dx_ref.dtype)
-    dscale_ref[0] = dscale
-    dshift_ref[0] = dshift
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+    dscale_ref[...] = dscale
+    dshift_ref[...] = dshift
 
 
 def _bwd(x3, dy3, mean3, rstd3, scale3, shift3, unbiased, relu):
     n, hw, c = x3.shape
     ct = _pick_ct(hw, c)
-    grid = (n, c // ct)
-    spec_x = pl.BlockSpec((1, hw, ct), lambda i, j: (i, 0, j),
+    nt = _pick_nt(n, hw, ct)
+    grid = (n // nt, c // ct)
+    spec_x = pl.BlockSpec((nt, hw, ct), lambda i, j: (i, 0, j),
                           memory_space=pltpu.VMEM)
-    spec_nc = pl.BlockSpec((1, 1, ct), lambda i, j: (i, 0, j),
+    spec_nc = pl.BlockSpec((nt, 1, ct), lambda i, j: (i, 0, j),
                            memory_space=pltpu.VMEM)
     kernel = functools.partial(_bwd_kernel, unbiased=unbiased, relu=relu, hw=hw)
     dx, dscale, dshift = pl.pallas_call(
