@@ -1,6 +1,8 @@
 """Evaluation driver — rebuild of reference test.py:193-309 with the broken
-edges2shoes import restored (quirk Q2) and all four metric modes:
-bpp | mse | visual | noise_sens.
+edges2shoes import restored (quirk Q2), the reference's four metric modes
+(bpp | mse | visual | noise_sens) plus two extensions: mvgauss (the BPP
+baseline only reachable from the reference's commented-out __main__) and
+fid (proxy-FID quality metric).
 """
 
 from __future__ import annotations
@@ -74,18 +76,17 @@ def visualize_inference(opt, real_A, real_B, model, name="inf_test.png"):
     real_A = jnp.asarray(real_A)
     real_B = jnp.asarray(real_B)[:opt.num_multi]
     n = real_A.shape[0]
+    num = real_B.shape[0]
     multi_fake_B = np.asarray(model.inference_multi(real_A, real_B)).reshape(
-        (n, opt.num_multi) + real_A.shape[1:])
-    cols = [np.asarray(real_A)] + [multi_fake_B[:, i]
-                                   for i in range(opt.num_multi)]
+        (n, num) + real_A.shape[1:])
+    cols = [np.asarray(real_A)] + [multi_fake_B[:, i] for i in range(num)]
     body = interleave_columns([one_to_three_channels(c[..., :3])
                                for c in cols])
     header = np.concatenate(
         [np.ones((1,) + body.shape[1:], body.dtype),
          one_to_three_channels(np.asarray(real_B)[..., :3])], axis=0)
     grid = np.concatenate([header, body], axis=0)
-    save_image_grid(grid, os.path.join(opt.res_dir, name),
-                    nrow=opt.num_multi + 1)
+    save_image_grid(grid, os.path.join(opt.res_dir, name), nrow=num + 1)
 
 
 def test_model(argv=None):
@@ -111,7 +112,7 @@ def test_model(argv=None):
     dev_dataset = AlignedIterator(devA, devB, batch_size=200)
     print("#dev images = %d" % len(dev_dataset))
 
-    model = create_model(opt, testing=True, image_size=64)
+    model = create_model(opt, testing=True, image_size=opt.grid_size)
     model.load(topt.chk_path)
     vis_inf = opt.model == "aug_cycle_gan"
 
@@ -157,6 +158,23 @@ def test_model(argv=None):
         sensitivity_to_edge_noise(opt, model, next(iter(test_dataset))["B"],
                                   save_path=os.path.join(opt.res_dir,
                                                          "noise_sens.npy"))
+
+    elif topt.metric == "mvgauss":
+        # multivariate-Gaussian BPP baseline (reference test.py:92-134,
+        # reachable only from its commented-out __main__)
+        from ..eval import compute_bpp_mvgauss_B
+        bpp = compute_bpp_mvgauss_B(train_dataset, test_dataset)
+        with open(os.path.join(opt.res_dir, "mvgauss_bpp.txt"), "w") as f:
+            f.write("%f\n" % bpp)
+
+    elif topt.metric == "fid":
+        # proxy-FID of generated B against real B (new capability; the
+        # quality-parity metric named in BASELINE.md)
+        from ..eval import eval_fid_B
+        fid = eval_fid_B(test_dataset, model)
+        print("PROXY_FID_B: %.4f" % fid)
+        with open(os.path.join(opt.res_dir, "fid.txt"), "w") as f:
+            f.write("%f\n" % fid)
     else:
         raise NotImplementedError("wrong metric!")
 

@@ -67,11 +67,10 @@ def visualize_inference(opt, real_A, real_B, model, eidx, uidx):
     real_A = jnp.asarray(real_A)
     real_B = jnp.asarray(real_B)[:opt.num_multi]
     n = real_A.shape[0]
+    num = real_B.shape[0]  # may be < num_multi on small dev sets
     multi_fake_B = np.asarray(model.inference_multi(real_A, real_B))
-    multi_fake_B = multi_fake_B.reshape((n, opt.num_multi) +
-                                        multi_fake_B.shape[1:])
-    cols = [np.asarray(real_A)] + [multi_fake_B[:, i]
-                                   for i in range(opt.num_multi)]
+    multi_fake_B = multi_fake_B.reshape((n, num) + multi_fake_B.shape[1:])
+    cols = [np.asarray(real_A)] + [multi_fake_B[:, i] for i in range(num)]
     body = interleave_columns([one_to_three_channels(c[..., :3])
                                for c in cols])
     header = np.concatenate([np.ones((1,) + body.shape[1:], body.dtype),
@@ -79,7 +78,7 @@ def visualize_inference(opt, real_A, real_B, model, eidx, uidx):
                             axis=0)
     grid = np.concatenate([header, body], axis=0)
     save_path = os.path.join(opt.vis_inf, "inf_%02d_%04d.png" % (eidx, uidx))
-    save_image_grid(grid, save_path, nrow=opt.num_multi + 1)
+    save_image_grid(grid, save_path, nrow=num + 1)
     copyfile(save_path, os.path.join(opt.vis_latest, "inf.png"))
 
 
@@ -97,8 +96,16 @@ def train_model(opt: TrainConfig = None, argv=None):
 
     # ----- data ---------------------------------------------------------
     if opt.numpy_data:
-        trainA, trainB, devA, devB, testA, testB = load_numpy_data(
-            opt.dataroot, grid_size=opt.grid_size, dev_size=opt.dev_size)
+        if (not os.path.exists(os.path.join(opt.dataroot, "trainA.npz"))
+                and os.path.isdir(os.path.join(opt.dataroot, "train"))):
+            # edges2shoes-style paired-jpg folder (capability the reference
+            # imports but lacks, quirk Q2)
+            from ..data import load_edges2shoes
+            trainA, trainB, devA, devB, testA, testB = load_edges2shoes(
+                opt.dataroot, size=opt.grid_size, dev_size=opt.dev_size)
+        else:
+            trainA, trainB, devA, devB, testA, testB = load_numpy_data(
+                opt.dataroot, grid_size=opt.grid_size, dev_size=opt.dev_size)
         train_dataset = UnalignedIterator(trainA, trainB,
                                           batch_size=opt.batchSize)
         print_log(out_f, "#training images = %d" % len(train_dataset))

@@ -261,7 +261,8 @@ class TestOptions:
         self.parser.add_argument("--train_logvar", type=int, default=1)
         self.parser.add_argument("--dataroot", required=True, type=str)
         self.parser.add_argument("--metric", required=True, type=str,
-                                 choices=["bpp", "mse", "visual", "noise_sens"])
+                                 choices=["bpp", "mse", "visual", "noise_sens",
+                                          "mvgauss", "fid"])
 
     def parse(self, args=None) -> TestConfig:
         ns = self.parser.parse_args(args)

@@ -1,0 +1,63 @@
+"""End-to-end CLI integration: one tiny epoch through the real train driver,
+artifact contract check, then the test driver on the produced checkpoint."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from domain_transfer_gan_tpu.cli.test import test_model as run_test_cli
+from domain_transfer_gan_tpu.cli.train import train_model
+from domain_transfer_gan_tpu.config import TrainConfig
+from domain_transfer_gan_tpu.data.synthetic import write_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    ckpt = tmp_path_factory.mktemp("ckpt")
+    write_synthetic_dataset(str(root), n_train=40, n_test=8, size=64)
+    argv = ["--dataroot", str(root), "--name", "cli_e2e",
+            "--checkpoints_dir", str(ckpt), "--grid_size", "64",
+            "--batchSize", "8", "--ngf", "4", "--nef", "4", "--ndf", "8",
+            "--nlatent", "8", "--niter", "1", "--niter_decay", "0",
+            "--print_freq", "16", "--display_freq", "16",
+            "--save_epoch_freq", "1", "--use_pallas", "0", "--seed", "3",
+            "--dev_size", "8", "--num_devices", "1"]
+    train_model(argv=argv)
+    return str(root), os.path.join(str(ckpt), "cli_e2e")
+
+
+def test_train_artifact_contract(trained_run):
+    _, expr = trained_run
+    for f in ("latest", "best_A", "best_B", "best_mse_A.txt",
+              "best_bpp_B.txt", "history_mse_A.npy", "history_ubo_B.npy",
+              "nets.txt", "opt.txt", "opt.json", "opt.pkl", "results.txt",
+              "results.json"):
+        assert os.path.exists(os.path.join(expr, f)), f
+    results = json.load(open(os.path.join(expr, "results.json")))
+    assert np.isfinite(results["best_dev_mse_A"])
+    assert np.isfinite(results["best_dev_bpp_B"])
+    # vis dirs populated
+    for d in ("vis_cycle", "train_vis_cycle", "vis_multi", "vis_latest",
+              "vis_inf", "vis_pred_B"):
+        path = os.path.join(expr, d)
+        assert os.path.isdir(path)
+    assert os.path.exists(os.path.join(expr, "vis_latest", "cycle.png"))
+    assert os.path.exists(os.path.join(expr, "vis_latest", "multi.png"))
+
+
+def test_test_cli_mse_on_checkpoint(trained_run, capsys):
+    root, expr = trained_run
+    run_test_cli(argv=["--chk_path", os.path.join(expr, "latest"),
+                     "--dataroot", root, "--metric", "mse"])
+    out = capsys.readouterr().out
+    assert "TEST_MSE_A" in out
+
+
+def test_test_cli_noise_sens(trained_run):
+    root, expr = trained_run
+    run_test_cli(argv=["--chk_path", os.path.join(expr, "latest"),
+                     "--dataroot", root, "--metric", "noise_sens"])
+    assert os.path.exists(os.path.join(expr, "test_res", "noise_sens.npy"))

@@ -183,3 +183,20 @@ def test_generation_api():
     assert inf.shape == (4, 64, 64, 3)
     params = m.predict_enc_params(A, B)
     assert params[0].shape == (2, 8)
+
+
+def test_same_seed_same_losses():
+    """Seeded determinism: identical cfg/seed/data -> identical loss
+    sequences (SURVEY.md §7 'Seeded determinism')."""
+    A, B = batch()
+    seqs = []
+    for _ in range(2):
+        m = create_model(tiny_cfg(seed=99), testing=True)
+        losses = []
+        for _ in range(2):
+            l, _, _ = m.train_instance(A, B)
+            losses.append({k: float(v) for k, v in l.items()})
+        seqs.append(losses)
+    for l1, l2 in zip(*seqs):
+        for k in l1:
+            assert l1[k] == l2[k], k
