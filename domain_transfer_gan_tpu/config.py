@@ -112,6 +112,7 @@ class TrainConfig:
     legacy_eval_constants: bool = False  # reproduce Q5 hardcoded 3*64*64 consts
     profile_dir: str = ""          # if set, dump jax profiler traces here
     remat: bool = False            # rematerialize generator activations in bwd
+    pool_size: int = 0             # buffered fake-image pool for D (0 = off)
 
     # derived (filled by parse/finalize)
     expr_dir: str = ""
@@ -225,6 +226,7 @@ class TrainOptions:
         p.add_argument("--dev_size", type=int, default=d.dev_size)
         p.add_argument("--legacy_eval_constants", action="store_true")
         p.add_argument("--remat", action="store_true")
+        p.add_argument("--pool_size", type=int, default=d.pool_size)
         p.add_argument("--profile_dir", type=str, default=d.profile_dir)
         self.initialized = True
 

@@ -119,6 +119,7 @@ class _CycleGANBase:
             "params": self.state.params,
             "batch_stats": self.state.batch_stats,
             "opt_state": self.state.opt_state,
+            "pools": self.state.pools,
             "step": self.state.step,
             "old_lr": np.float64(self.old_lr),
             "epoch": np.int64(self.epoch),
@@ -151,6 +152,7 @@ class _CycleGANBase:
         self.state = TrainState(
             params=payload["params"], batch_stats=payload["batch_stats"],
             opt_state=payload["opt_state"],
+            pools=payload.get("pools", self.state.pools),
             step=jnp.asarray(payload["step"], jnp.int32))
         self.old_lr = float(payload["old_lr"])
         self.epoch = int(payload["epoch"])

@@ -48,6 +48,7 @@ class TrainState:
     batch_stats: Dict[str, Any]
     opt_state: Dict[str, Any]
     step: jnp.ndarray  # int32 scalar
+    pools: Dict[str, Any] = struct.field(default_factory=dict)  # fake-image pools (opt-in)
 
 
 def adam_tx(beta1: float) -> optax.GradientTransformation:
@@ -89,10 +90,14 @@ def build_networks(cfg: TrainConfig) -> Dict[str, Any]:
     }
     if cfg.model == "aug_cycle_gan":
         enc_input_nc = cfg.output_nc + (cfg.input_nc if cfg.enc_A_B else 0)
+        # the reference encoder's flatten assumes 64x64 inputs; for any
+        # other resolution global-average the final feature map instead
+        # (new capability: aug_cycle_gan at arbitrary grid_size)
         nets["netE_B"] = N.define_E(nlatent=cfg.nlatent, input_nc=enc_input_nc,
                                     nef=cfg.nef, norm="batch",
                                     init_scheme=cfg.init_scheme,
-                                    use_pallas=cfg.use_pallas, dtype=dtype)
+                                    use_pallas=cfg.use_pallas, dtype=dtype,
+                                    adaptive_pool=cfg.grid_size != 64)
         nets["netD_z_B"] = N.define_LAT_D(nlatent=cfg.nlatent, ndf=cfg.ndf,
                                           use_sigmoid=cfg.use_sigmoid,
                                           init_scheme=cfg.init_scheme,
@@ -143,6 +148,14 @@ def init_state(cfg: TrainConfig, rng: jax.Array,
 
     tx = adam_tx(cfg.beta1)
     opt_state = {name: tx.init(params[name]) for name in params}
+    pools = {}
+    if getattr(cfg, "pool_size", 0) > 0:
+        from .pool import init_pool
+        pools = {
+            "fake_A": init_pool(cfg.pool_size, (hw, hw, cfg.input_nc)),
+            "fake_B": init_pool(cfg.pool_size, (hw, hw, cfg.output_nc)),
+        }
     state = TrainState(params=params, batch_stats=batch_stats,
-                       opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+                       opt_state=opt_state, step=jnp.zeros((), jnp.int32),
+                       pools=pools)
     return nets, state

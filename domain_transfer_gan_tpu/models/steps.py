@@ -40,6 +40,7 @@ from ..ops.numerics import (
     l1_loss,
     log_prob_gaussian,
 )
+from .pool import pool_query
 from .state import TrainState, adam_tx, apply_net_update
 
 sg = jax.lax.stop_gradient
@@ -71,10 +72,11 @@ def make_stoch_train_step(nets, cfg: TrainConfig, ignore_noise: bool):
     tx = adam_tx(cfg.beta1)
     use_sig = cfg.use_sigmoid
     gan = functools.partial(criterion_gan, use_sigmoid=use_sig)
+    use_pool = getattr(cfg, "pool_size", 0) > 0
 
     def step(state: TrainState, real_A, real_B, prior_z, lr, rng):
         p, stats = state.params, state.batch_stats
-        k_drop0, k_drop1 = jax.random.split(rng)
+        k_drop0, k_drop1, k_poolA, k_poolB = jax.random.split(rng, 4)
         if ignore_noise:
             prior_z = jnp.ones_like(prior_z)  # model.py:128-129
 
@@ -85,15 +87,25 @@ def make_stoch_train_step(nets, cfg: TrainConfig, ignore_noise: bool):
         fake_A, st_GBA = apply_net(nets["netG_B_A"], p["netG_B_A"],
                                    stats["netG_B_A"], real_B, rngs=rngs0)
 
+        # fake-image pool (opt-in): D trains on a fresh/replayed mix
+        pools = dict(state.pools)
+        if use_pool:
+            pools["fake_A"], d_fake_A = pool_query(state.pools["fake_A"],
+                                                   sg(fake_A), k_poolA)
+            pools["fake_B"], d_fake_B = pool_query(state.pools["fake_B"],
+                                                   sg(fake_B), k_poolB)
+        else:
+            d_fake_A, d_fake_B = sg(fake_A), sg(fake_B)
+
         # ----- phase 1: discriminators on detached fakes ---------------
         def d_loss_fn(d_params):
             pf_A, stA = apply_net(nets["netD_A"], d_params["netD_A"],
-                                  stats["netD_A"], sg(fake_A))
+                                  stats["netD_A"], d_fake_A)
             l_fA = gan(pf_A, False)
             pt_A, stA = apply_net(nets["netD_A"], d_params["netD_A"], stA, real_A)
             l_tA = gan(pt_A, True)
             pf_B, stB = apply_net(nets["netD_B"], d_params["netD_B"],
-                                  stats["netD_B"], sg(fake_B))
+                                  stats["netD_B"], d_fake_B)
             l_fB = gan(pf_B, False)
             pt_B, stB = apply_net(nets["netD_B"], d_params["netD_B"], stB, real_B)
             l_tB = gan(pt_B, True)
@@ -165,7 +177,8 @@ def make_stoch_train_step(nets, cfg: TrainConfig, ignore_noise: bool):
                    "rec_A": g_aux["rec_A"], "real_B": real_B,
                    "fake_A": g_aux["fake_A"], "rec_B": g_aux["rec_B"]}
         new_state = TrainState(params=new_p, batch_stats=new_stats,
-                               opt_state=new_opt, step=state.step + 1)
+                               opt_state=new_opt, step=state.step + 1,
+                               pools=pools)
         return new_state, losses, visuals, gnorms
 
     return step
@@ -181,6 +194,7 @@ def make_aug_train_step(nets, cfg: TrainConfig):
     stoch_enc = bool(cfg.stoch_enc)
     z_gan = bool(cfg.z_gan)
     enc_A_B = bool(cfg.enc_A_B)
+    use_pool = getattr(cfg, "pool_size", 0) > 0
 
     def posterior(e_params, e_stats, a_img, b_img, eps):
         """E_B posterior of z given (A-ish, B); returns (z, mu, logvar_eff,
@@ -197,7 +211,7 @@ def make_aug_train_step(nets, cfg: TrainConfig):
 
     def step(state: TrainState, real_A, real_B, prior_z, lr, rng):
         p, stats = state.params, state.batch_stats
-        k_eps, k_drop0, k_drop1 = jax.random.split(rng, 3)
+        k_eps, k_drop0, k_drop1, k_poolA, k_poolB = jax.random.split(rng, 5)
         eps_post = jax.random.normal(k_eps, prior_z.shape, prior_z.dtype)
 
         # ----- shared forward (phase 0) --------------------------------
@@ -209,15 +223,25 @@ def make_aug_train_step(nets, cfg: TrainConfig):
         post_z, mu_r, logvar_r, logvar_r_eff, st_E = posterior(
             p["netE_B"], stats["netE_B"], fake_A, real_B, eps_post)
 
+        # fake-image pool (opt-in): D trains on a fresh/replayed mix
+        pools = dict(state.pools)
+        if use_pool:
+            pools["fake_A"], d_fake_A = pool_query(state.pools["fake_A"],
+                                                   sg(fake_A), k_poolA)
+            pools["fake_B"], d_fake_B = pool_query(state.pools["fake_B"],
+                                                   sg(fake_B), k_poolB)
+        else:
+            d_fake_A, d_fake_B = sg(fake_A), sg(fake_B)
+
         # ----- phase 1: discriminators on detached inputs --------------
         def d_loss_fn(d_params):
             pf_A, stA = apply_net(nets["netD_A"], d_params["netD_A"],
-                                  stats["netD_A"], sg(fake_A))
+                                  stats["netD_A"], d_fake_A)
             l_fA = gan(pf_A, False)
             pt_A, stA = apply_net(nets["netD_A"], d_params["netD_A"], stA, real_A)
             l_tA = gan(pt_A, True)
             pf_B, stB = apply_net(nets["netD_B"], d_params["netD_B"],
-                                  stats["netD_B"], sg(fake_B))
+                                  stats["netD_B"], d_fake_B)
             l_fB = gan(pf_B, False)
             pt_B, stB = apply_net(nets["netD_B"], d_params["netD_B"], stB, real_B)
             l_tB = gan(pt_B, True)
@@ -339,7 +363,8 @@ def make_aug_train_step(nets, cfg: TrainConfig):
                    "rec_A": g_aux["rec_A"], "real_B": real_B,
                    "fake_A": g_aux["fake_A"], "rec_B": g_aux["rec_B"]}
         new_state = TrainState(params=new_p, batch_stats=new_stats,
-                               opt_state=new_opt, step=state.step + 1)
+                               opt_state=new_opt, step=state.step + 1,
+                               pools=pools)
         return new_state, losses, visuals, gnorms
 
     return step
@@ -445,7 +470,8 @@ def make_aug_supervised_step(nets, cfg: TrainConfig):
             "gnorm_D_z_B": gnorms["gnorm_D_z_B"],
         }
         new_state = TrainState(params=new_p, batch_stats=new_stats,
-                               opt_state=new_opt, step=state.step)
+                               opt_state=new_opt, step=state.step,
+                               pools=state.pools)
         return new_state, losses
 
     return step

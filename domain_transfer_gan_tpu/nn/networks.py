@@ -420,10 +420,10 @@ def define_LAT_D(nlatent, ndf, use_sigmoid=False, init_scheme="reference",
 
 
 def define_E(nlatent, input_nc, nef, norm="batch", init_scheme="reference",
-             use_pallas=False, dtype=jnp.float32):
+             use_pallas=False, dtype=jnp.float32, adaptive_pool=False):
     return LatentEncoder(nlatent=nlatent, input_nc=input_nc, nef=nef, norm=norm,
-                         init_scheme=init_scheme, use_pallas=use_pallas,
-                         dtype=dtype)
+                         adaptive_pool=adaptive_pool, init_scheme=init_scheme,
+                         use_pallas=use_pallas, dtype=dtype)
 
 
 def count_params(params) -> int:
