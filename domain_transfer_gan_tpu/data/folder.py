@@ -102,10 +102,11 @@ class NumpyDataset:
         idx = py2_seed123_permutation(len(A_paths))
         A_paths = [A_paths[i] for i in idx]
         B_paths = [B_paths[i] for i in idx]
+        dev_size = int(getattr(opt, "dev_size", DEV_SIZE))
         if subset == "dev":
-            A_paths, B_paths = A_paths[:DEV_SIZE], B_paths[:DEV_SIZE]
+            A_paths, B_paths = A_paths[:dev_size], B_paths[:dev_size]
         elif subset == "train":
-            A_paths, B_paths = A_paths[DEV_SIZE:], B_paths[DEV_SIZE:]
+            A_paths, B_paths = A_paths[dev_size:], B_paths[dev_size:]
 
         subset_size = int(len(A_paths) * fraction)
         self.A_paths = A_paths[:subset_size]
