@@ -117,3 +117,17 @@ def clip_grads_torchlike(tree, max_norm: float):
 def nats2bpp(nats, nc: int, npx: int):
     """nats -> bits-per-pixel (reference evaluate.py:150-152)."""
     return (nats / (npx * npx * nc)) / math.log(2.0)
+
+
+def log_prob_gaussian_detail(z, mu, log_var, size):
+    """Decomposed Gaussian log-density terms for debugging (reference
+    model.py:36-43; unused by the reference's drivers, kept for inventory
+    parity).  Returns (logvar term, quadratic term, normalizer) where the
+    normalizer scales by the per-sample feature count (the reference
+    hardcoded 3*64*64 there — quirk Q5 family; derived from shape here)."""
+    res1 = (-0.5 * log_var).reshape(size).sum(2).mean(1).mean(0)
+    res2 = (-(z - mu) ** 2.0 / (2.0 * jnp.exp(log_var))
+            ).reshape(size).sum(2).mean(1).mean(0)
+    feat = z.size // (size[0] * size[1]) if len(size) > 2 else 1
+    res3 = -0.5 * math.log(2 * math.pi) * feat
+    return res1, res2, res3
