@@ -26,8 +26,7 @@ def create_sub_dirs(opt, sub_dirs):
     for sub_dir in sub_dirs:
         dir_path = os.path.join(opt.expr_dir, sub_dir)
         os.makedirs(dir_path, exist_ok=True)
-        object.__setattr__(opt, sub_dir, dir_path) if dataclasses.is_dataclass(opt) \
-            else setattr(opt, sub_dir, dir_path)
+        setattr(opt, sub_dir, dir_path)
         paths[sub_dir] = dir_path
     return paths
 

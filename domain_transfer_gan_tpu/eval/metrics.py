@@ -210,7 +210,7 @@ def variational_ubo(model, real_A, real_B, steps: int, visualize: bool = False,
                     rec_B = predict_B(gp, gs, real_A, z_l1)
                     msg += ", L1: %.4f" % float(jnp.mean(jnp.abs(real_B_deq - rec_B)))
             print(msg)
-        if visualize and done % 100 == 0 and done < steps:
+        if visualize and done % 100 == 0:
             vis_dump(str(done))
 
     bpp = ubo_val / (npix * math.log(2.0))

@@ -81,7 +81,7 @@ class _CycleGANBase:
         if key not in self._jit_cache:
             net = self.nets[name]
 
-            @functools.partial(jax.jit, static_argnames=())
+            @jax.jit
             def f(params, stats, *xs):
                 out, _ = apply_net(net, params, stats, *xs, train=train)
                 return out

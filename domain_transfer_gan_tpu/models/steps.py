@@ -27,7 +27,6 @@ are Python-static so XLA specializes each of the variants (SURVEY.md §7
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -200,3 +200,21 @@ def test_same_seed_same_losses():
     for l1, l2 in zip(*seqs):
         for k in l1:
             assert l1[k] == l2[k], k
+
+
+def test_batch_norm_variant_step():
+    """--norm batch puts BatchNorm into G_B_A/D_A/D_B; the step must thread
+    their running stats through both phases."""
+    cfg = tiny_cfg(norm="batch")
+    m = create_model(cfg, testing=True)
+    A, B = batch()
+    s0 = jax.tree_util.tree_map(jnp.copy, m.state.batch_stats["netG_B_A"])
+    losses, _, _ = m.train_instance(A, B)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert _leaf_diff(s0, m.state.batch_stats["netG_B_A"]) > 0
+    assert _leaf_diff({}, m.state.batch_stats["netD_B"]) >= 0
+    # eval mode uses the running stats without error
+    m.eval()
+    out = m.predict_A(B)
+    assert np.all(np.isfinite(np.asarray(out)))
