@@ -87,3 +87,22 @@ def test_pool_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(m.state.pools["fake_A"].buf),
                                   np.asarray(m2.state.pools["fake_A"].buf))
     assert int(m2.state.pools["fake_A"].n) == int(m.state.pools["fake_A"].n)
+
+
+def test_pool_with_data_parallel():
+    """Pool buffers are replicated state updated from sharded batches."""
+    from domain_transfer_gan_tpu.parallel import DataParallel
+    cfg = TrainConfig(model="stoch_cycle_gan", grid_size=64, ngf=4, nef=4,
+                      ndf=4, nlatent=8, batchSize=8, use_pallas=False,
+                      pool_size=8, monitor_gnorm=True, seed=2)
+    cfg.expr_dir = ""
+    dp = DataParallel(create_model(cfg, testing=True), num_devices=4)
+    rng = np.random.RandomState(3)
+    A = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    B = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    losses, _, _ = dp.train_instance(A, B)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert int(dp.state.pools["fake_A"].n) == 8
+    # pool holds the first batch's fakes (inserted verbatim while filling)
+    assert np.all(np.isfinite(np.asarray(dp.state.pools["fake_A"].buf)))
