@@ -29,3 +29,21 @@ def test_compute_fid_orders_distributions():
     fid_close = compute_fid(real, close, ext)
     fid_far = compute_fid(real, far, ext)
     assert abs(fid_same) < fid_close < fid_far
+
+
+def test_eval_fid_B_with_model():
+    import jax.numpy as jnp
+    from domain_transfer_gan_tpu.config import TrainConfig
+    from domain_transfer_gan_tpu.data import AlignedIterator
+    from domain_transfer_gan_tpu.eval import eval_fid_B, random_feature_extractor
+    from domain_transfer_gan_tpu.models import create_model
+    cfg = TrainConfig(model="stoch_cycle_gan", grid_size=64, ngf=4, nef=4,
+                      ndf=4, nlatent=8, use_pallas=False, seed=0)
+    cfg.expr_dir = ""
+    m = create_model(cfg, testing=True)
+    rng = np.random.RandomState(0)
+    A = rng.uniform(-1, 1, (40, 64, 64, 3)).astype(np.float32)
+    B = rng.uniform(-1, 1, (40, 64, 64, 3)).astype(np.float32)
+    ds = AlignedIterator(A, B, batch_size=20)
+    fid = eval_fid_B(ds, m, n_max=40, extractor=random_feature_extractor(width=4))
+    assert np.isfinite(fid) and fid > 0
