@@ -114,5 +114,16 @@ class DataParallel:
             prior_z_B = self.shard(jnp.asarray(prior_z_B))
         return self.model.supervised_train_instance(real_A, real_B, prior_z_B)
 
+    _own_attrs = frozenset({"model", "mesh", "axis"})
+
     def __getattr__(self, name):
         return getattr(self.model, name)
+
+    def __setattr__(self, name, value):
+        # Delegate to the wrapped model (mirroring __getattr__) so driver
+        # writes like ``model.epoch = epoch`` land on the inner model that
+        # save() serializes, not on the wrapper.
+        if name in DataParallel._own_attrs or name.startswith("_"):
+            object.__setattr__(self, name, value)
+        else:
+            setattr(self.model, name, value)

@@ -73,6 +73,28 @@ def test_data_parallel_multiple_steps():
     assert int(dp.state.step) == 2
 
 
+def test_data_parallel_setattr_reaches_inner_model(tmp_path):
+    """Regression: ``model.epoch = N`` on the wrapper must land on the inner
+    model that save() serializes, so a checkpoint written under DP resumes
+    at the right epoch (round-1 bug: wrapper shadowed the attribute)."""
+    cfg = tiny_cfg(model="stoch_cycle_gan")
+    dp = DataParallel(create_model(cfg, testing=True), num_devices=2)
+    rng = np.random.RandomState(2)
+    A = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    B = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    dp.train_instance(A, B)
+    dp.epoch = 7
+    assert dp.model.epoch == 7
+    cfg.expr_dir = str(tmp_path)
+    dp.save("latest")
+
+    fresh = create_model(tiny_cfg(model="stoch_cycle_gan"), testing=True)
+    fresh.opt.expr_dir = str(tmp_path)
+    fresh.load(str(tmp_path / "latest"))
+    assert fresh.epoch == 7
+    assert int(fresh.state.step) == 1
+
+
 def test_prefetch_to_device():
     mesh = make_mesh(num_devices=2)
     batches = [{"A": np.full((4, 2, 2, 3), i, np.float32)} for i in range(5)]
