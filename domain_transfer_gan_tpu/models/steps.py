@@ -15,9 +15,10 @@ Semantics preserved exactly:
 - stop_gradient in the D phase where the reference detaches,
 - per-network torch-style clipping before Adam, D lr = lr/5,
 - batch-norm running stats updated once per reference-forward, in reference
-  order (training-mode outputs never depend on running stats, so the
-  duplicated forwards inside the G loss reuse phase-0 stats and drop their
-  mutations).
+  order (training-mode outputs never depend on running stats),
+- the phase-0 generator/encoder forward runs exactly ONCE: jax.vjp keeps its
+  pullback so the G phase backpropagates through the shared primals instead
+  of recomputing them (matching the reference's single-forward graph reuse).
 
 All config switches (stoch_enc / z_gan / enc_A_B / use_sigmoid / ignore_noise)
 are Python-static so XLA specializes each of the variants (SURVEY.md §7
@@ -72,6 +73,11 @@ def make_stoch_train_step(nets, cfg: TrainConfig, ignore_noise: bool):
     use_sig = cfg.use_sigmoid
     gan = functools.partial(criterion_gan, use_sigmoid=use_sig)
     use_pool = getattr(cfg, "pool_size", 0) > 0
+    # With per-sample norms (the default), scoring fake and real through a
+    # discriminator in ONE concatenated forward is numerically identical to
+    # two forwards and halves the D kernel launches / doubles MXU batch
+    # efficiency.  Batch norm couples samples, so fall back there.
+    concat_d = cfg.norm != "batch"
 
     def step(state: TrainState, real_A, real_B, prior_z, lr, rng):
         p, stats = state.params, state.batch_stats
@@ -79,12 +85,23 @@ def make_stoch_train_step(nets, cfg: TrainConfig, ignore_noise: bool):
         if ignore_noise:
             prior_z = jnp.ones_like(prior_z)  # model.py:128-129
 
-        # ----- shared forward (phase 0) --------------------------------
-        rngs0 = _dropout_rngs(k_drop0, cfg.use_dropout)
-        fake_B, st_GAB = apply_net(nets["netG_A_B"], p["netG_A_B"],
-                                   stats["netG_A_B"], real_A, prior_z, rngs=rngs0)
-        fake_A, st_GBA = apply_net(nets["netG_B_A"], p["netG_B_A"],
-                                   stats["netG_B_A"], real_B, rngs=rngs0)
+        # ----- shared forward (phase 0), with its pullback kept --------
+        # jax.vjp gives the primal fakes for the D phase AND the generator
+        # cotangent path for the G phase, so the G_A->B / G_B->A forwards
+        # run exactly ONCE per step (the reference reuses its phase-0 graph
+        # the same way, model.py:404-407 vs :455-461).
+        def shared_fwd(g_params):
+            rngs0 = _dropout_rngs(k_drop0, cfg.use_dropout)
+            fake_B, st_GAB = apply_net(nets["netG_A_B"], g_params["netG_A_B"],
+                                       stats["netG_A_B"], real_A, prior_z,
+                                       rngs=rngs0)
+            fake_A, st_GBA = apply_net(nets["netG_B_A"], g_params["netG_B_A"],
+                                       stats["netG_B_A"], real_B, rngs=rngs0)
+            return (fake_B, fake_A), (st_GAB, st_GBA)
+
+        g_params = {k: p[k] for k in ("netG_A_B", "netG_B_A")}
+        (fake_B, fake_A), shared_pullback, (st_GAB, st_GBA) = jax.vjp(
+            shared_fwd, g_params, has_aux=True)
 
         # fake-image pool (opt-in): D trains on a fresh/replayed mix
         pools = dict(state.pools)
@@ -97,17 +114,25 @@ def make_stoch_train_step(nets, cfg: TrainConfig, ignore_noise: bool):
             d_fake_A, d_fake_B = sg(fake_A), sg(fake_B)
 
         # ----- phase 1: discriminators on detached fakes ---------------
+        def score_pair(name, d_params, d_stats, fake, real):
+            """(fake_pred, real_pred, stats) via one concatenated forward
+            when norms are per-sample, two forwards otherwise."""
+            if concat_d:
+                p, st = apply_net(nets[name], d_params, d_stats,
+                                  jnp.concatenate([fake, real], axis=0))
+                pf, pt = jnp.split(p, 2, axis=0)
+                return pf, pt, st
+            pf, st = apply_net(nets[name], d_params, d_stats, fake)
+            pt, st = apply_net(nets[name], d_params, st, real)
+            return pf, pt, st
+
         def d_loss_fn(d_params):
-            pf_A, stA = apply_net(nets["netD_A"], d_params["netD_A"],
-                                  stats["netD_A"], d_fake_A)
-            l_fA = gan(pf_A, False)
-            pt_A, stA = apply_net(nets["netD_A"], d_params["netD_A"], stA, real_A)
-            l_tA = gan(pt_A, True)
-            pf_B, stB = apply_net(nets["netD_B"], d_params["netD_B"],
-                                  stats["netD_B"], d_fake_B)
-            l_fB = gan(pf_B, False)
-            pt_B, stB = apply_net(nets["netD_B"], d_params["netD_B"], stB, real_B)
-            l_tB = gan(pt_B, True)
+            pf_A, pt_A, stA = score_pair("netD_A", d_params["netD_A"],
+                                         stats["netD_A"], d_fake_A, real_A)
+            l_fA, l_tA = gan(pf_A, False), gan(pt_A, True)
+            pf_B, pt_B, stB = score_pair("netD_B", d_params["netD_B"],
+                                         stats["netD_B"], d_fake_B, real_B)
+            l_fB, l_tB = gan(pf_B, False), gan(pt_B, True)
             loss_D_A = 0.5 * (l_fA + l_tA)
             loss_D_B = 0.5 * (l_fB + l_tB)
             aux = dict(loss_D_A=loss_D_A, loss_D_B=loss_D_B,
@@ -124,12 +149,11 @@ def make_stoch_train_step(nets, cfg: TrainConfig, ignore_noise: bool):
                 tx, p[k], state.opt_state[k], d_grads[k], lr_d, cfg.max_gnorm)
 
         # ----- phase 2: generators vs the UPDATED discriminators -------
-        def g_loss_fn(g_params):
-            rngs = _dropout_rngs(k_drop0, cfg.use_dropout)
-            fb, _ = apply_net(nets["netG_A_B"], g_params["netG_A_B"],
-                              stats["netG_A_B"], real_A, prior_z, rngs=rngs)
-            fa, _ = apply_net(nets["netG_B_A"], g_params["netG_B_A"],
-                              stats["netG_B_A"], real_B, rngs=rngs)
+        # The G loss takes the phase-0 fakes as differentiable *inputs*;
+        # their cotangents flow back through shared_pullback and sum with
+        # the direct grads from the cycle forwards.
+        def g_loss_fn(fakes, g_params):
+            fb, fa = fakes
             pf_A, stA = apply_net(nets["netD_A"], new_p["netD_A"],
                                   d_aux["st_D_A"], fa)
             loss_G_A = gan(pf_A, True)
@@ -148,12 +172,16 @@ def make_stoch_train_step(nets, cfg: TrainConfig, ignore_noise: bool):
             aux = dict(loss_G_A=loss_G_A, loss_G_B=loss_G_B,
                        loss_cycle_A=loss_cycle_A, loss_cycle_B=loss_cycle_B,
                        P_f_A=jnp.mean(pf_A), P_f_B=jnp.mean(pf_B),
-                       fake_A=fa, fake_B=fb, rec_A=rec_A, rec_B=rec_B,
+                       rec_A=rec_A, rec_B=rec_B,
                        st_D_A=stA, st_D_B=stB, st_GAB=stGAB, st_GBA=stGBA)
             return loss_G, aux
 
-        g_params = {k: p[k] for k in ("netG_A_B", "netG_B_A")}
-        g_grads, g_aux = jax.grad(g_loss_fn, has_aux=True)(g_params)
+        (d_fakes, g_grads_direct), g_aux = jax.grad(
+            g_loss_fn, argnums=(0, 1), has_aux=True)((fake_B, fake_A),
+                                                     g_params)
+        (g_grads_shared,) = shared_pullback(d_fakes)
+        g_grads = jax.tree_util.tree_map(jnp.add, g_grads_shared,
+                                         g_grads_direct)
         for k in ("netG_A_B", "netG_B_A"):
             new_p[k], new_opt[k], gnorms["gnorm_" + k[3:]] = apply_net_update(
                 tx, p[k], state.opt_state[k], g_grads[k], lr, cfg.max_gnorm)
@@ -172,9 +200,9 @@ def make_stoch_train_step(nets, cfg: TrainConfig, ignore_noise: bool):
             "P_t_A": d_aux["P_t_A"], "P_f_A": g_aux["P_f_A"],
             "P_t_B": d_aux["P_t_B"], "P_f_B": g_aux["P_f_B"],
         }
-        visuals = {"real_A": real_A, "fake_B": g_aux["fake_B"],
+        visuals = {"real_A": real_A, "fake_B": fake_B,
                    "rec_A": g_aux["rec_A"], "real_B": real_B,
-                   "fake_A": g_aux["fake_A"], "rec_B": g_aux["rec_B"]}
+                   "fake_A": fake_A, "rec_B": g_aux["rec_B"]}
         new_state = TrainState(params=new_p, batch_stats=new_stats,
                                opt_state=new_opt, step=state.step + 1,
                                pools=pools)
@@ -194,6 +222,10 @@ def make_aug_train_step(nets, cfg: TrainConfig):
     z_gan = bool(cfg.z_gan)
     enc_A_B = bool(cfg.enc_A_B)
     use_pool = getattr(cfg, "pool_size", 0) > 0
+    # one concatenated fake|real forward per image discriminator when the
+    # norms are per-sample (exact; see make_stoch_train_step).  netD_z_B
+    # uses BatchNorm1d, whose batch coupling forces separate forwards.
+    concat_d = cfg.norm != "batch"
 
     def posterior(e_params, e_stats, a_img, b_img, eps):
         """E_B posterior of z given (A-ish, B); returns (z, mu, logvar_eff,
@@ -213,14 +245,29 @@ def make_aug_train_step(nets, cfg: TrainConfig):
         k_eps, k_drop0, k_drop1, k_poolA, k_poolB = jax.random.split(rng, 5)
         eps_post = jax.random.normal(k_eps, prior_z.shape, prior_z.dtype)
 
-        # ----- shared forward (phase 0) --------------------------------
-        rngs0 = _dropout_rngs(k_drop0, cfg.use_dropout)
-        fake_B, st_GAB = apply_net(nets["netG_A_B"], p["netG_A_B"],
-                                   stats["netG_A_B"], real_A, prior_z, rngs=rngs0)
-        fake_A, st_GBA = apply_net(nets["netG_B_A"], p["netG_B_A"],
-                                   stats["netG_B_A"], real_B, rngs=rngs0)
-        post_z, mu_r, logvar_r, logvar_r_eff, st_E = posterior(
-            p["netE_B"], stats["netE_B"], fake_A, real_B, eps_post)
+        # ----- shared forward (phase 0), with its pullback kept --------
+        # jax.vjp gives the primal fakes/posterior for the D phase AND the
+        # generator/encoder cotangent path for the G phase, so G_A->B,
+        # G_B->A and E_B each forward exactly ONCE per step (the reference
+        # reuses its phase-0 graph the same way, model.py:404-419 vs
+        # :455-464).
+        def shared_fwd(g_params):
+            rngs0 = _dropout_rngs(k_drop0, cfg.use_dropout)
+            fake_B, st_GAB = apply_net(nets["netG_A_B"], g_params["netG_A_B"],
+                                       stats["netG_A_B"], real_A, prior_z,
+                                       rngs=rngs0)
+            fake_A, st_GBA = apply_net(nets["netG_B_A"], g_params["netG_B_A"],
+                                       stats["netG_B_A"], real_B, rngs=rngs0)
+            post_z, mu, logvar, logvar_eff, st_E = posterior(
+                g_params["netE_B"], stats["netE_B"], fake_A, real_B, eps_post)
+            return ((fake_B, fake_A, post_z, mu, logvar_eff),
+                    (st_GAB, st_GBA, st_E, logvar))
+
+        g_names = ("netG_A_B", "netG_B_A", "netE_B")
+        g_params = {k: p[k] for k in g_names}
+        ((fake_B, fake_A, post_z, mu_r, logvar_r_eff), shared_pullback,
+         (st_GAB, st_GBA, st_E, logvar_r)) = jax.vjp(
+            shared_fwd, g_params, has_aux=True)
 
         # fake-image pool (opt-in): D trains on a fresh/replayed mix
         pools = dict(state.pools)
@@ -233,17 +280,23 @@ def make_aug_train_step(nets, cfg: TrainConfig):
             d_fake_A, d_fake_B = sg(fake_A), sg(fake_B)
 
         # ----- phase 1: discriminators on detached inputs --------------
+        def score_pair(name, d_params, d_stats, fake, real):
+            if concat_d:
+                p, st = apply_net(nets[name], d_params, d_stats,
+                                  jnp.concatenate([fake, real], axis=0))
+                pf, pt = jnp.split(p, 2, axis=0)
+                return pf, pt, st
+            pf, st = apply_net(nets[name], d_params, d_stats, fake)
+            pt, st = apply_net(nets[name], d_params, st, real)
+            return pf, pt, st
+
         def d_loss_fn(d_params):
-            pf_A, stA = apply_net(nets["netD_A"], d_params["netD_A"],
-                                  stats["netD_A"], d_fake_A)
-            l_fA = gan(pf_A, False)
-            pt_A, stA = apply_net(nets["netD_A"], d_params["netD_A"], stA, real_A)
-            l_tA = gan(pt_A, True)
-            pf_B, stB = apply_net(nets["netD_B"], d_params["netD_B"],
-                                  stats["netD_B"], d_fake_B)
-            l_fB = gan(pf_B, False)
-            pt_B, stB = apply_net(nets["netD_B"], d_params["netD_B"], stB, real_B)
-            l_tB = gan(pt_B, True)
+            pf_A, pt_A, stA = score_pair("netD_A", d_params["netD_A"],
+                                         stats["netD_A"], d_fake_A, real_A)
+            l_fA, l_tA = gan(pf_A, False), gan(pt_A, True)
+            pf_B, pt_B, stB = score_pair("netD_B", d_params["netD_B"],
+                                         stats["netD_B"], d_fake_B, real_B)
+            l_fB, l_tB = gan(pf_B, False), gan(pt_B, True)
             pz_post, stZ = apply_net(nets["netD_z_B"], d_params["netD_z_B"],
                                      stats["netD_z_B"], sg(post_z))
             l_zpost = gan(pz_post, False)
@@ -272,14 +325,11 @@ def make_aug_train_step(nets, cfg: TrainConfig):
                 tx, p[k], state.opt_state[k], d_grads[k], lr_d, cfg.max_gnorm)
 
         # ----- phase 2: generators/encoder vs UPDATED discriminators ---
-        def g_loss_fn(g_params):
-            rngs = _dropout_rngs(k_drop0, cfg.use_dropout)
-            fb, _ = apply_net(nets["netG_A_B"], g_params["netG_A_B"],
-                              stats["netG_A_B"], real_A, prior_z, rngs=rngs)
-            fa, _ = apply_net(nets["netG_B_A"], g_params["netG_B_A"],
-                              stats["netG_B_A"], real_B, rngs=rngs)
-            pz, mu2, logvar2, logvar2_eff, _ = posterior(
-                g_params["netE_B"], stats["netE_B"], fa, real_B, eps_post)
+        # The G loss takes the phase-0 fakes/posterior as differentiable
+        # *inputs*; their cotangents flow back through shared_pullback and
+        # sum with the direct grads from the cycle/z-cycle forwards.
+        def g_loss_fn(fakes, g_params):
+            fb, fa, pz, mu2, logvar2_eff = fakes
 
             pf_A, stA = apply_net(nets["netD_A"], new_p["netD_A"],
                                   d_aux["st_D_A"], fa)
@@ -326,15 +376,18 @@ def make_aug_train_step(nets, cfg: TrainConfig):
                        loss_G_z_B=loss_G_z_B, loss_cycle_A=loss_cycle_A,
                        loss_cycle_B=loss_cycle_B, loss_cycle_z_B=loss_cycle_z_B,
                        kld_z_B=kld_z_B, P_f_A=jnp.mean(pf_A),
-                       P_f_B=jnp.mean(pf_B), fake_A=fa, fake_B=fb,
-                       rec_A=rec_A, rec_B=rec_B, mu=mu2, logvar=logvar2_eff,
+                       P_f_B=jnp.mean(pf_B),
+                       rec_A=rec_A, rec_B=rec_B,
                        st_D_A=stA, st_D_B=stB, st_D_z=stZ, st_E=stE,
                        st_GAB=stGAB, st_GBA=stGBA)
             return loss_G, aux
 
-        g_names = ("netG_A_B", "netG_B_A", "netE_B")
-        g_params = {k: p[k] for k in g_names}
-        g_grads, g_aux = jax.grad(g_loss_fn, has_aux=True)(g_params)
+        (d_fakes, g_grads_direct), g_aux = jax.grad(
+            g_loss_fn, argnums=(0, 1), has_aux=True)(
+            (fake_B, fake_A, post_z, mu_r, logvar_r_eff), g_params)
+        (g_grads_shared,) = shared_pullback(d_fakes)
+        g_grads = jax.tree_util.tree_map(jnp.add, g_grads_shared,
+                                         g_grads_direct)
         for k in g_names:
             new_p[k], new_opt[k], gnorms["gnorm_" + k[3:]] = apply_net_update(
                 tx, p[k], state.opt_state[k], g_grads[k], lr, cfg.max_gnorm)
@@ -345,9 +398,9 @@ def make_aug_train_step(nets, cfg: TrainConfig):
                          netD_z_B=g_aux["st_D_z"], netE_B=g_aux["st_E"])
 
         gnorms.update({
-            "mu_min": jnp.min(g_aux["mu"]), "mu_max": jnp.max(g_aux["mu"]),
-            "logvar_min": jnp.min(g_aux["logvar"]),
-            "logvar_max": jnp.max(g_aux["logvar"]),
+            "mu_min": jnp.min(mu_r), "mu_max": jnp.max(mu_r),
+            "logvar_min": jnp.min(logvar_r_eff),
+            "logvar_max": jnp.max(logvar_r_eff),
         })
         losses = {
             "D_A": d_aux["loss_D_A"], "G_A": g_aux["loss_G_A"],
@@ -358,9 +411,9 @@ def make_aug_train_step(nets, cfg: TrainConfig):
             "P_t_A": d_aux["P_t_A"], "P_f_A": g_aux["P_f_A"],
             "P_t_B": d_aux["P_t_B"], "P_f_B": g_aux["P_f_B"],
         }
-        visuals = {"real_A": real_A, "fake_B": g_aux["fake_B"],
+        visuals = {"real_A": real_A, "fake_B": fake_B,
                    "rec_A": g_aux["rec_A"], "real_B": real_B,
-                   "fake_A": g_aux["fake_A"], "rec_B": g_aux["rec_B"]}
+                   "fake_A": fake_A, "rec_B": g_aux["rec_B"]}
         new_state = TrainState(params=new_p, batch_stats=new_stats,
                                opt_state=new_opt, step=state.step + 1,
                                pools=pools)
