@@ -28,7 +28,7 @@ from ..data import (
 from ..eval import eval_mse_A, eval_ubo_B, one_to_three_channels
 from ..eval.visualize import interleave_columns, save_image_grid
 from ..models import create_model
-from ..parallel import DataParallel
+from ..parallel import DataParallel, prefetch_to_device
 from ..utils import StepTimer, copy_scripts_to_folder, format_log, print_log, \
     save_results
 
@@ -102,10 +102,12 @@ def train_model(opt: TrainConfig = None, argv=None):
             # imports but lacks, quirk Q2)
             from ..data import load_edges2shoes
             trainA, trainB, devA, devB, testA, testB = load_edges2shoes(
-                opt.dataroot, size=opt.grid_size, dev_size=opt.dev_size)
+                opt.dataroot, size=opt.grid_size, dev_size=opt.dev_size,
+                antialias=bool(opt.resize_antialias))
         else:
             trainA, trainB, devA, devB, testA, testB = load_numpy_data(
-                opt.dataroot, grid_size=opt.grid_size, dev_size=opt.dev_size)
+                opt.dataroot, grid_size=opt.grid_size, dev_size=opt.dev_size,
+                antialias=bool(opt.resize_antialias))
         train_dataset = UnalignedIterator(trainA, trainB,
                                           batch_size=opt.batchSize)
         print_log(out_f, "#training images = %d" % len(train_dataset))
@@ -185,18 +187,30 @@ def train_model(opt: TrainConfig = None, argv=None):
         "best_dev_bpp_B": sys.float_info.max,
         "best_test_bpp_B": sys.float_info.max,
     }
+    results_path = os.path.join(opt.expr_dir, "results.json")
+    if opt.continue_train and os.path.exists(results_path):
+        # Keep the pre-restart best metrics so a worse post-resume epoch
+        # can't overwrite the best_A/best_B checkpoints.
+        import json
+        with open(results_path) as f:
+            results.update(json.load(f))
     save_results(opt.expr_dir, results)
     history_mse_A = []
     history_ubo_B = []
     create_sub_dirs(opt, ["vis_pred_B"])
 
     start_epoch = model.epoch if opt.continue_train else opt.epoch_count
+    mesh = model.mesh if isinstance(model, DataParallel) else None
+    trace_active = False
     for epoch in range(start_epoch, opt.niter + opt.niter_decay + 1):
         model.epoch = epoch
         epoch_start_time = time.time()
         epoch_iter = 0
 
-        for i, data in enumerate(train_dataset):
+        # Double-buffered host->HBM feed: input transfer overlaps compute
+        # (the reference synchronously .cuda()'d every batch).
+        feed = prefetch_to_device(train_dataset, mesh)
+        for i, data in enumerate(feed):
             real_A, real_B = data["A"], data["B"]
             if real_A.shape[0] != real_B.shape[0]:
                 continue
@@ -204,18 +218,19 @@ def train_model(opt: TrainConfig = None, argv=None):
             epoch_iter += opt.batchSize
 
             # profile a steady-state window when --profile_dir is set
-            profiling = (opt.profile_dir and epoch == start_epoch
-                         and 10 <= i < 15)
-            if profiling and i == 10:
+            if (opt.profile_dir and epoch == start_epoch and i == 10
+                    and not trace_active):
                 jax.profiler.start_trace(opt.profile_dir)
+                trace_active = True
             out = model.train_instance(real_A, real_B)
             if opt.monitor_gnorm:
                 losses, visuals, gnorms = out
             else:
                 losses, visuals = out
-            if profiling and i == 14:
-                jax.block_until_ready(losses["D_A"])
+            if trace_active and i == 14:
+                float(np.asarray(losses["D_A"]))
                 jax.profiler.stop_trace()
+                trace_active = False
                 print_log(out_f, "profiler trace written to %s"
                           % opt.profile_dir)
 
@@ -254,6 +269,12 @@ def train_model(opt: TrainConfig = None, argv=None):
                                                 sec_per_item, prefix=False)
                               + "\n")
                 print_log(out_f, "  throughput: %.1f images/sec" % img_per_sec)
+
+        if trace_active:
+            # first epoch ended before batch 14 — close the trace cleanly
+            jax.profiler.stop_trace()
+            trace_active = False
+            print_log(out_f, "profiler trace written to %s" % opt.profile_dir)
 
         if epoch % opt.save_epoch_freq == 0:
             print_log(out_f, "saving the model at the end of epoch %d, "

@@ -38,7 +38,12 @@ class StepTimer:
 
     def window(self, sync_array=None):
         if sync_array is not None:
-            jax.block_until_ready(sync_array)
+            # Sync via a real host fetch: on this environment's tunneled TPU
+            # backend, block_until_ready can return before execution
+            # completes (inflating throughput ~5x); a device->host value
+            # transfer cannot be faked.
+            import numpy as np
+            float(np.asarray(sync_array).ravel()[0])
         dt = time.perf_counter() - self._t0
         sec_per_item = dt / max(self._items, 1)
         items_per_sec = self._items / dt if dt > 0 else float("inf")
