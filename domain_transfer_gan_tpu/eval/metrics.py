@@ -48,25 +48,45 @@ def _npix(model, real_B) -> float:
 # MSE_A  (reference evaluate.py:10-19)
 # ---------------------------------------------------------------------------
 
+def _frozen_apply(net, variables, *args, train: bool, rngs=None):
+    """Forward pass that honors the train flag without persisting batch-stat
+    mutations.  The reference never switches nets to eval mode (model.eval()
+    is commented out in its test.py and absent from train.py), so evals must
+    use train-mode statistics when ``model.training`` is set; dropout stays
+    deterministic-off during eval unless an rng is supplied."""
+    if train:
+        out, _ = net.apply(variables, *args, train=True,
+                           mutable=["batch_stats"], rngs=rngs)
+        return out
+    return net.apply(variables, *args, train=False)
+
+
 def eval_mse_A(dataset, model) -> float:
-    if "mse_A" not in model._jit_cache:
+    train = bool(model.training)
+    use_dropout = bool(getattr(model.opt, "use_dropout", False))
+    cache_key = ("mse_A", train)
+    if cache_key not in model._jit_cache:
         net = model.nets["netG_B_A"]
 
         @jax.jit
-        def f(params, stats, real_A, real_B):
+        def f(params, stats, real_A, real_B, rng):
             variables = {"params": params}
             if stats:
                 variables["batch_stats"] = stats
-            pred_A = net.apply(variables, real_B, train=False)
+            rngs = {"dropout": rng} if (train and use_dropout) else None
+            pred_A = _frozen_apply(net, variables, real_B, train=train,
+                                   rngs=rngs)
             return jnp.mean((pred_A - real_A) ** 2)
 
-        model._jit_cache["mse_A"] = f
-    f = model._jit_cache["mse_A"]
+        model._jit_cache[cache_key] = f
+    f = model._jit_cache[cache_key]
     vals = []
     for batch in dataset:
+        rng = (model.next_key() if (train and use_dropout)
+               else jax.random.PRNGKey(0))
         vals.append(f(model.state.params["netG_B_A"],
                       model.state.batch_stats["netG_B_A"],
-                      jnp.asarray(batch["A"]), jnp.asarray(batch["B"])))
+                      jnp.asarray(batch["A"]), jnp.asarray(batch["B"]), rng))
     return float(np.mean([float(v) for v in vals]))
 
 
@@ -74,40 +94,58 @@ def eval_mse_A(dataset, model) -> float:
 # Variational UBO / BPP  (reference evaluate.py:21-148)
 # ---------------------------------------------------------------------------
 
-def _predict_B_fn(model):
-    """(params, stats, real_A, z) -> fake_B with the cycle_gan z-override."""
+def _predict_B_fn(model, train: Optional[bool] = None):
+    """(params, stats, real_A, z) -> fake_B with the cycle_gan z-override.
+
+    ``train`` defaults to the model's current mode (see :func:`_frozen_apply`
+    — the reference never flips nets to eval mode).
+    """
     net = model.nets["netG_A_B"]
     ignore_noise = getattr(model, "ignore_noise", False)
+    train = bool(model.training) if train is None else train
+    use_dropout = bool(getattr(model.opt, "use_dropout", False))
 
-    def f(params, stats, real_A, z):
+    def f(params, stats, real_A, z, rngs=None):
         if ignore_noise:
             z = jnp.ones_like(z)
         variables = {"params": params}
         if stats:
             variables["batch_stats"] = stats
-        return net.apply(variables, real_A, z, train=False)
+        if train and use_dropout and rngs is None:
+            rngs = {"dropout": jax.random.PRNGKey(0)}
+        return _frozen_apply(net, variables, real_A, z, train=train,
+                             rngs=rngs)
 
     return f
 
 
 def _make_ubo_chunk(model):
-    predict_B = _predict_B_fn(model)
+    train = bool(model.training)
+    use_dropout = bool(getattr(model.opt, "use_dropout", False))
+    predict_B = _predict_B_fn(model, train=train)
 
     def chunk(params, stats, real_A, real_B_deq, mu, logvar, sq_mu, sq_lv,
-              key, logvar_B, npix, steps):
+              key, logvar_B, mask, npix, steps):
         def body(carry, _):
             mu, logvar, sq_mu, sq_lv, key = carry
-            key, k = jax.random.split(key)
+            key, k, k_drop = jax.random.split(key, 3)
             eps = jax.random.normal(k, mu.shape, mu.dtype)
+            rngs = {"dropout": k_drop} if (train and use_dropout) else None
 
             def loss_fn(mu, logvar):
                 z = gauss_reparametrize_eps(mu, logvar, eps)
-                fake_B = predict_B(params, stats, real_A, z)
+                fake_B = predict_B(params, stats, real_A, z, rngs=rngs)
                 lp = log_prob_laplace(real_B_deq, fake_B, logvar_B)
                 lp = jnp.sum(lp.reshape(lp.shape[0], -1), axis=1)
                 kld = kld_std_gauss(mu, logvar)
                 ubo = (-lp + kld) + npix * math.log(127.5)
-                return jnp.mean(ubo), (jnp.mean(ubo), jnp.mean(kld))
+                # masked mean: tail batches are padded to a fixed batch
+                # size so every batch compiles to ONE program; padded rows
+                # carry zero weight, making the per-sample RMSprop dynamics
+                # and the returned metrics identical to an unpadded run.
+                denom = jnp.sum(mask)
+                wm = lambda v: jnp.sum(v * mask) / denom
+                return wm(ubo), (wm(ubo), wm(kld))
 
             (_, (ubo, kld)), grads = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(mu, logvar)
@@ -130,16 +168,26 @@ def _make_ubo_chunk(model):
 def variational_ubo(model, real_A, real_B, steps: int, visualize: bool = False,
                     vis_name=None, vis_path=None, verbose: bool = False,
                     logvar_B=None, vis_batch: int = 25,
-                    compute_l1: bool = False):
+                    compute_l1: bool = False, pad_to: Optional[int] = None):
     """Iterative variational upper bound on -log p(B|A).
 
     Returns (ubo, kld, bpp) of the final iterate, like the reference.
+    Short batches are zero-weight padded to ``pad_to`` so every batch size
+    hits the same compiled program (SURVEY.md §7: "must not recompile per
+    batch size").
     """
     if visualize:
         assert vis_name is not None and vis_path is not None
     real_A = jnp.asarray(real_A)
     real_B = jnp.asarray(real_B)
+    n_real = real_A.shape[0]
+    if pad_to is not None and n_real < pad_to:
+        pad = pad_to - n_real
+        real_A = jnp.concatenate([real_A, jnp.repeat(real_A[:1], pad, 0)])
+        real_B = jnp.concatenate([real_B, jnp.repeat(real_B[:1], pad, 0)])
     n = real_A.shape[0]
+    mask = (jnp.arange(n) < n_real).astype(real_B.dtype)
+    vis_batch = min(vis_batch, n_real)
     nlat = model.opt.nlatent
     npix = _npix(model, real_B)
 
@@ -166,9 +214,10 @@ def variational_ubo(model, real_A, real_B, steps: int, visualize: bool = False,
         if len(params) == 2:
             logvar = jnp.asarray(params[1])
 
-    if "ubo_chunk" not in model._jit_cache:
-        model._jit_cache["ubo_chunk"] = _make_ubo_chunk(model)
-    chunk = model._jit_cache["ubo_chunk"]
+    chunk_key = ("ubo_chunk", bool(model.training))
+    if chunk_key not in model._jit_cache:
+        model._jit_cache[chunk_key] = _make_ubo_chunk(model)
+    chunk = model._jit_cache[chunk_key]
 
     gp = model.state.params["netG_A_B"]
     gs = model.state.batch_stats["netG_A_B"]
@@ -197,7 +246,7 @@ def variational_ubo(model, real_A, real_B, steps: int, visualize: bool = False,
         todo = min(100, steps - done)  # vis cadence = 100 (evaluate.py:134)
         mu, logvar, sq_mu, sq_lv, key, ubo_dev, kld_dev = chunk(
             gp, gs, real_A, real_B_deq, mu, logvar, sq_mu, sq_lv, key,
-            logvar_B, npix, todo)
+            logvar_B, mask, npix, todo)
         done += todo
         ubo_val, kld_val = float(ubo_dev), float(kld_dev)
         bpp = ubo_val / (npix * math.log(2.0))
@@ -208,7 +257,8 @@ def variational_ubo(model, real_A, real_B, steps: int, visualize: bool = False,
                 z_l1 = mu if not model.opt.stoch_enc else None
                 if z_l1 is not None:
                     rec_B = predict_B(gp, gs, real_A, z_l1)
-                    msg += ", L1: %.4f" % float(jnp.mean(jnp.abs(real_B_deq - rec_B)))
+                    msg += ", L1: %.4f" % float(jnp.mean(jnp.abs(
+                        real_B_deq[:n_real] - rec_B[:n_real])))
             print(msg)
         if visualize and done % 100 == 0:
             vis_dump(str(done))
@@ -223,11 +273,12 @@ def eval_ubo_B(dataset, model, steps: int = 500, visualize: bool = False,
     """Mean UBO/BPP/KLD over the dataset (reference evaluate.py:21-37)."""
     ubo_B, bpp_B, kld_B = [], [], []
     first = True
+    pad_to = getattr(dataset, "batch_size", None)
     for batch in dataset:
         ubo, kld, bpp = variational_ubo(
             model, batch["A"], batch["B"], steps,
             visualize and first, vis_name, vis_path, verbose, logvar_B,
-            vis_batch, compute_l1)
+            vis_batch, compute_l1, pad_to=pad_to)
         first = False
         ubo_B.append(ubo)
         bpp_B.append(bpp)
@@ -243,6 +294,7 @@ def train_logvar(dataset, model, epochs: int = 1):
     """Fit the decoder's pixelwise logvar_B on train data by minimizing the
     UBO with everything else frozen."""
     shape = None
+    train = bool(model.training)
     predict_B = _predict_B_fn(model)
     net_A = model.nets["netG_B_A"]
 
@@ -257,14 +309,15 @@ def train_logvar(dataset, model, epochs: int = 1):
             va = {"params": pa}
             if ps:
                 va["batch_stats"] = ps
-            fake_A = net_A.apply(va, rb, train=False)
+            fake_A = _frozen_apply(net_A, va, rb, train=train)
             if "netE_B" in model.nets:
                 enc_in = (jnp.concatenate([fake_A, rb], axis=-1)
                           if model.opt.enc_A_B else rb)
                 ve = {"params": e_params}
                 if e_stats:
                     ve["batch_stats"] = e_stats
-                mu, logvar = model.nets["netE_B"].apply(ve, enc_in, train=False)
+                mu, logvar = _frozen_apply(model.nets["netE_B"], ve, enc_in,
+                                           train=train)
                 if not model.opt.stoch_enc:
                     logvar = jnp.full_like(logvar, math.log(0.01))
             else:
