@@ -112,6 +112,9 @@ class TrainConfig:
     profile_dir: str = ""          # if set, dump jax profiler traces here
     remat: bool = False            # rematerialize generator activations in bwd
     pool_size: int = 0             # buffered fake-image pool for D (0 = off)
+    resize_antialias: int = 1      # 1 = skimage-parity Gaussian pre-filter on
+    #                                downscale (reference dataloader.py:26-31);
+    #                                0 = plain jax triangle-filter resize
 
     # derived (filled by parse/finalize)
     expr_dir: str = ""
@@ -226,6 +229,8 @@ class TrainOptions:
         p.add_argument("--legacy_eval_constants", action="store_true")
         p.add_argument("--remat", action="store_true")
         p.add_argument("--pool_size", type=int, default=d.pool_size)
+        p.add_argument("--resize_antialias", type=int, choices=[0, 1],
+                       default=d.resize_antialias)
         p.add_argument("--profile_dir", type=str, default=d.profile_dir)
         self.initialized = True
 

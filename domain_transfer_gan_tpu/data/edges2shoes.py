@@ -44,12 +44,12 @@ def _load_pair_folder(folder: str, size: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def load_edges2shoes(root: str, size: int = 64, shuffle: bool = True,
-                     dev_size: int = DEV_SIZE):
+                     dev_size: int = DEV_SIZE, antialias: bool = True):
     npz_train = os.path.join(root, "trainA.npz")
     if os.path.exists(npz_train):
         from .npz import load_numpy_data
         return load_numpy_data(root, shuffle=shuffle, grid_size=size,
-                               dev_size=dev_size)
+                               dev_size=dev_size, antialias=antialias)
 
     train_dir = os.path.join(root, "train")
     val_dir = os.path.join(root, "val")

@@ -63,20 +63,18 @@ def _load_arr(path) -> np.ndarray:
         return f["data"]
 
 
-def default_transform(img: np.ndarray, grid_size: int) -> np.ndarray:
+def default_transform(img: np.ndarray, grid_size: int,
+                      antialias: bool = True) -> np.ndarray:
     """resize -> [-1, 1], HWC float32 (reference get_transform,
-    dataloader.py:253-258)."""
+    dataloader.py:253-258; skimage-parity anti-aliased resize by default)."""
     if img.ndim == 2:
         img = img[..., None]
     if img.dtype == np.uint8:
         img = img.astype(np.float32) / 255.0
     img = img.astype(np.float32)
     if img.shape[0] != grid_size or img.shape[1] != grid_size:
-        import jax
-        import jax.image
-        img = np.asarray(jax.image.resize(
-            jax.numpy.asarray(img), (grid_size, grid_size, img.shape[2]),
-            method="linear"))
+        from .resize import resize_batch
+        img = resize_batch(img[None], grid_size, antialias=antialias)[0]
     return (img - 0.5) / 0.5
 
 
@@ -87,6 +85,7 @@ class NumpyDataset:
         self.subset = subset
         self.unaligned = unaligned
         self.grid_size = opt.grid_size
+        self.antialias = bool(getattr(opt, "resize_antialias", 1))
         assert 0.0 < fraction <= 1.0
         if subset in ("dev", "train"):
             dir_A = os.path.join(self.root, "trainA")
@@ -127,8 +126,8 @@ class NumpyDataset:
         else:
             index_B = index % self.A_size
         B = _load_arr(self.B_paths[index_B])
-        return {"A": default_transform(A, self.grid_size),
-                "B": default_transform(B, self.grid_size)}
+        return {"A": default_transform(A, self.grid_size, self.antialias),
+                "B": default_transform(B, self.grid_size, self.antialias)}
 
     def __len__(self):
         return max(self.A_size, self.B_size)

@@ -45,14 +45,19 @@ def normalize_bundle(arr: np.ndarray, use_native: bool = True) -> np.ndarray:
     """NaN->0, per-sample-per-channel min-max to [-1,1], inf scrubbed (NHWC).
 
     Dispatches to the threaded C++ implementation (csrc/npz_loader.cc,
-    bit-exact vs this numpy path) when the native library is built.
+    bit-exact vs this numpy path) when the native library is built.  Both
+    paths cast to float32 *before* normalizing so the equivalence holds for
+    any input dtype.  Quirk fix vs the reference: 3-D inputs gain their
+    channel axis at position 3 (NHW -> NHWC) rather than the reference's
+    axis=2 (dataloader.py:21-22, which produced NHCW under its NCHW
+    transpose) — NHWC is this framework's native layout.
     """
     if use_native and arr.ndim == 4:
         from . import native
         out = np.ascontiguousarray(arr, dtype=np.float32)
         if native.normalize_batch_inplace(out):
             return out
-    arr = np.nan_to_num(arr)
+    arr = np.nan_to_num(arr.astype(np.float32, copy=True))
     if arr.ndim == 3:
         arr = np.expand_dims(arr, axis=3)
     lo = arr.min(axis=(1, 2))[:, np.newaxis, np.newaxis]
@@ -65,40 +70,35 @@ def normalize_bundle(arr: np.ndarray, use_native: bool = True) -> np.ndarray:
     return arr.astype(np.float32)
 
 
-def resize_batch(arr: np.ndarray, grid_size: int) -> np.ndarray:
-    """Bilinear resize of an NHWC batch to (grid_size, grid_size).
+def resize_batch(arr: np.ndarray, grid_size: int,
+                 antialias: bool = True) -> np.ndarray:
+    """Resize an NHWC batch to (grid_size, grid_size).
 
-    The reference used skimage.transform.resize per sample
-    (dataloader.py:26-31); bilinear interpolation on already-normalized
-    floats is the equivalent operation.
+    The reference used anti-aliased skimage.transform.resize per sample
+    (dataloader.py:26-31); data/resize.py reproduces that pipeline
+    (Gaussian pre-filter + linear interpolation).  antialias=False keeps
+    the plain jax.image path.
     """
-    if arr.shape[1] == grid_size and arr.shape[2] == grid_size:
-        return arr
-    import jax
-    import jax.image
-
-    out = jax.image.resize(
-        jax.numpy.asarray(arr),
-        (arr.shape[0], grid_size, grid_size, arr.shape[3]),
-        method="linear",
-    )
-    return np.asarray(out, dtype=np.float32)
+    from .resize import resize_batch as _rb
+    return _rb(arr, grid_size, antialias=antialias)
 
 
-def _load_one(root: str, fname: str, grid_size: Optional[int]) -> np.ndarray:
+def _load_one(root: str, fname: str, grid_size: Optional[int],
+              antialias: bool = True) -> np.ndarray:
     print("Loading %s" % root)
     with np.load(os.path.join(root, fname)) as f:
         arr = f["data"][..., :3]
     arr = normalize_bundle(arr)
     if grid_size is not None:
         print("Resizing data to %d" % grid_size)
-        arr = resize_batch(arr, grid_size)
+        arr = resize_batch(arr, grid_size, antialias=antialias)
     return arr
 
 
 def load_numpy_data(root: str, shuffle: bool = True,
                     grid_size: Optional[int] = None,
-                    dev_size: int = DEV_SIZE
+                    dev_size: int = DEV_SIZE,
+                    antialias: bool = True
                     ) -> Tuple[np.ndarray, ...]:
     """Returns (trainA, trainB, devA, devB, testA, testB), all NHWC float32.
 
@@ -106,10 +106,10 @@ def load_numpy_data(root: str, shuffle: bool = True,
     the first-DEV_SIZE dev split.
     """
     print("loading data numpy files...")
-    trainA = _load_one(root, "trainA.npz", grid_size)
-    trainB = _load_one(root, "trainB.npz", grid_size)
-    testA = _load_one(root, "testA.npz", grid_size)
-    testB = _load_one(root, "testB.npz", grid_size)
+    trainA = _load_one(root, "trainA.npz", grid_size, antialias)
+    trainB = _load_one(root, "trainB.npz", grid_size, antialias)
+    testA = _load_one(root, "testA.npz", grid_size, antialias)
+    testB = _load_one(root, "testB.npz", grid_size, antialias)
     print("done.")
 
     if shuffle:
