@@ -100,16 +100,30 @@ def test_model(argv=None):
     os.makedirs(res_path, exist_ok=True)
     opt.res_dir = res_path
 
-    trainA, trainB, devA, devB, testA, testB = load_edges2shoes(
-        opt.dataroot, size=opt.grid_size,
-        dev_size=getattr(opt, "dev_size", 200))
-    sub = int(len(trainA) * 0.2)
-    train_dataset = UnalignedIterator(trainA[:sub], trainB[:sub],
-                                      batch_size=200)
+    # data selection mirrors the train CLI exactly (bundled npz /
+    # edges2shoes folders / --numpy_data 0 per-file datasets), so any
+    # trained checkpoint can be evaluated (the reference's test.py was
+    # broken outright, quirk Q2, and round 1 only supported bundles)
+    antialias = bool(getattr(opt, "resize_antialias", 1))
+    if getattr(opt, "numpy_data", 1):
+        trainA, trainB, devA, devB, testA, testB = load_edges2shoes(
+            opt.dataroot, size=opt.grid_size,
+            dev_size=getattr(opt, "dev_size", 200), antialias=antialias)
+        sub = int(len(trainA) * 0.2)  # reference test.py uses a 20% subset
+        train_dataset = UnalignedIterator(trainA[:sub], trainB[:sub],
+                                          batch_size=200)
+        test_dataset = AlignedIterator(testA, testB, batch_size=200)
+        dev_dataset = AlignedIterator(devA, devB, batch_size=200)
+    else:
+        from ..data import DataLoader
+        train_dataset = DataLoader(opt, subset="train", unaligned=True,
+                                   batchSize=200, fraction=0.2)
+        test_dataset = DataLoader(opt, subset="val", unaligned=False,
+                                  batchSize=200)
+        dev_dataset = DataLoader(opt, subset="dev", unaligned=False,
+                                 batchSize=200)
     print("#training images = %d" % len(train_dataset))
-    test_dataset = AlignedIterator(testA, testB, batch_size=200)
     print("#test images = %d" % len(test_dataset))
-    dev_dataset = AlignedIterator(devA, devB, batch_size=200)
     print("#dev images = %d" % len(dev_dataset))
 
     model = create_model(opt, testing=True, image_size=opt.grid_size)
@@ -137,7 +151,12 @@ def test_model(argv=None):
     elif topt.metric == "visual":
         opt.num_multi = 5
         n_vis = 10
-        dev_vis = AlignedIterator(devA, devB, batch_size=n_vis)
+        if getattr(opt, "numpy_data", 1):
+            dev_vis = AlignedIterator(devA, devB, batch_size=n_vis)
+        else:
+            from ..data import DataLoader
+            dev_vis = DataLoader(opt, subset="dev", unaligned=False,
+                                 batchSize=n_vis)
         for i, vis_data in enumerate(dev_vis):
             real_A, real_B = vis_data["A"], vis_data["B"]
             prior_z_B = model.sample_prior_z(n_vis)

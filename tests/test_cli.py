@@ -10,7 +10,10 @@ import pytest
 from domain_transfer_gan_tpu.cli.test import test_model as run_test_cli
 from domain_transfer_gan_tpu.cli.train import train_model
 from domain_transfer_gan_tpu.config import TrainConfig
-from domain_transfer_gan_tpu.data.synthetic import write_synthetic_dataset
+from domain_transfer_gan_tpu.data.synthetic import (
+    write_synthetic_dataset,
+    write_synthetic_perfile_dataset,
+)
 
 
 @pytest.fixture(scope="module")
@@ -61,3 +64,25 @@ def test_test_cli_noise_sens(trained_run):
     run_test_cli(argv=["--chk_path", os.path.join(expr, "latest"),
                      "--dataroot", root, "--metric", "noise_sens"])
     assert os.path.exists(os.path.join(expr, "test_res", "noise_sens.npy"))
+
+
+def test_test_cli_perfile_dataset(tmp_path, capsys):
+    """A model trained with --numpy_data 0 (per-file folders) can be
+    evaluated by the test CLI (round-1 gap: it always loaded bundles)."""
+    root = tmp_path / "ds"
+    ckpt = tmp_path / "ckpt"
+    write_synthetic_perfile_dataset(str(root), n_train=24, n_test=8, size=64)
+    argv = ["--dataroot", str(root), "--name", "cli_pf",
+            "--checkpoints_dir", str(ckpt), "--grid_size", "64",
+            "--numpy_data", "0", "--batchSize", "8", "--ngf", "4",
+            "--nef", "4", "--ndf", "8", "--nlatent", "8", "--niter", "1",
+            "--niter_decay", "0", "--print_freq", "16",
+            "--display_freq", "999999", "--save_epoch_freq", "1",
+            "--use_pallas", "0", "--seed", "3", "--dev_size", "8",
+            "--num_devices", "1", "--eval_B_freq", "999999"]
+    train_model(argv=argv)
+    expr = os.path.join(str(ckpt), "cli_pf")
+    run_test_cli(argv=["--chk_path", os.path.join(expr, "latest"),
+                       "--dataroot", str(root), "--metric", "mse"])
+    out = capsys.readouterr().out
+    assert "TEST_MSE_A" in out
