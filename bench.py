@@ -77,13 +77,34 @@ def measure_tpu(batch=BATCH, dtype=DTYPE) -> dict:
     dt = time.perf_counter() - t0
 
     imgs_per_sec = MEASURE_STEPS * batch / dt
-    return {
+    step_s = dt / MEASURE_STEPS
+    res = {
         "images_per_sec": imgs_per_sec,
-        "step_ms": 1e3 * dt / MEASURE_STEPS,
+        "step_ms": 1e3 * step_s,
         "backend": jax.default_backend(),
         "batch": batch,
         "dtype": dtype,
     }
+    # roofline view: compiled-program FLOPs / HBM bytes per step -> MFU and
+    # achieved bandwidth (v5e peak: 197 TFLOP/s bf16, 819 GB/s HBM)
+    try:
+        z = jnp.zeros((batch, cfg.nlatent), jnp.float32)
+        compiled = model._train_step.lower(
+            model.state, real_A, real_B, z, jnp.float32(cfg.lr),
+            jax.random.PRNGKey(0)).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", float("nan")))
+        byts = float(ca.get("bytes accessed", float("nan")))
+        res.update(
+            flops_per_step=flops,
+            bytes_per_step=byts,
+            mfu=flops / step_s / 197e12,
+            hbm_gbps=byts / step_s / 1e9,
+        )
+    except Exception as e:  # cost analysis is best-effort
+        sys.stderr.write("cost analysis unavailable: %r\n" % (e,))
+    return res
 
 
 def load_or_measure_baseline() -> dict:
@@ -109,12 +130,17 @@ def main():
         vs = float("nan")
     # the headline JSON line goes out first so a driver-side timeout on the
     # optional extra measurement below cannot lose it
-    print(json.dumps({
+    line = {
         "metric": "aug_cycle_gan 64x64 full train step images/sec/chip (bf16, b128)",
         "value": round(res["images_per_sec"], 2),
         "unit": "images/sec",
         "vs_baseline": (round(vs, 3) if vs == vs else None),
-    }), flush=True)
+    }
+    if "mfu" in res:
+        line["mfu"] = round(res["mfu"], 4)
+        line["bytes_per_step"] = res["bytes_per_step"]
+        line["hbm_gbps"] = round(res["hbm_gbps"], 1)
+    print(json.dumps(line), flush=True)
     try:
         ref = measure_tpu(batch=32, dtype="float32")
         sys.stderr.write("reference-config (fp32, b32): %.0f img/s\n"

@@ -35,9 +35,10 @@ class CIN(nn.Module):
 class CinBlock(nn.Module):
     def __init__(self, ch, zdim):
         super().__init__()
-        self.c1 = nn.Conv2d(ch, ch, 3, padding=1)
+        # reflection-padded 3x3 convs like the reference's CINResnetBlock
+        self.c1 = nn.Sequential(nn.ReflectionPad2d(1), nn.Conv2d(ch, ch, 3))
         self.n1 = CIN(ch, zdim)
-        self.c2 = nn.Conv2d(ch, ch, 3, padding=1)
+        self.c2 = nn.Sequential(nn.ReflectionPad2d(1), nn.Conv2d(ch, ch, 3))
         self.n2 = nn.InstanceNorm2d(ch, affine=True)
 
     def forward(self, x, z):
@@ -52,7 +53,7 @@ class GenAB(nn.Module):
     def __init__(self, zdim=16, ch=32, io=3):
         super().__init__()
         self.stem = nn.ModuleList([
-            nn.Conv2d(io, ch, 7, padding=3),
+            nn.Sequential(nn.ReflectionPad2d(3), nn.Conv2d(io, ch, 7)),
             nn.Conv2d(ch, 2 * ch, 3, padding=1),
             nn.Conv2d(2 * ch, 4 * ch, 3, stride=2, padding=1)])
         self.cins = nn.ModuleList([CIN(ch, zdim), CIN(2 * ch, zdim),
@@ -63,7 +64,7 @@ class GenAB(nn.Module):
         self.cin_up = CIN(2 * ch, zdim)
         self.tail = nn.Conv2d(2 * ch, ch, 3, padding=1)
         self.cin_tail = CIN(ch, zdim)
-        self.out = nn.Conv2d(ch, io, 7, padding=3)
+        self.out = nn.Sequential(nn.ReflectionPad2d(3), nn.Conv2d(ch, io, 7))
 
     def forward(self, x, z):
         h = x
@@ -80,8 +81,8 @@ def gen_ba(ch=32, io=3):
     def blk(ci, co, **kw):
         return [nn.Conv2d(ci, co, 3, **kw), nn.InstanceNorm2d(co, affine=True),
                 nn.ReLU()]
-    layers = ([nn.Conv2d(io, ch, 7, padding=3), nn.InstanceNorm2d(ch, True),
-               nn.ReLU()]
+    layers = ([nn.ReflectionPad2d(3), nn.Conv2d(io, ch, 7),
+               nn.InstanceNorm2d(ch, True), nn.ReLU()]
               + blk(ch, 2 * ch, padding=1)
               + blk(2 * ch, 4 * ch, stride=2, padding=1))
     for _ in range(3):
@@ -89,7 +90,7 @@ def gen_ba(ch=32, io=3):
     layers += [nn.ConvTranspose2d(4 * ch, 2 * ch, 3, 2, 1, 1),
                nn.InstanceNorm2d(2 * ch, True), nn.ReLU()]
     layers += blk(2 * ch, ch, padding=1)
-    layers += [nn.Conv2d(ch, io, 7, padding=3), nn.Tanh()]
+    layers += [nn.ReflectionPad2d(3), nn.Conv2d(ch, io, 7), nn.Tanh()]
     return nn.Sequential(*layers)
 
 
@@ -97,8 +98,9 @@ class ResBlock(nn.Module):
     def __init__(self, ch):
         super().__init__()
         self.f = nn.Sequential(
-            nn.Conv2d(ch, ch, 3, padding=1), nn.ReLU(),
-            nn.Conv2d(ch, ch, 3, padding=1), nn.InstanceNorm2d(ch, True))
+            nn.ReflectionPad2d(1), nn.Conv2d(ch, ch, 3), nn.ReLU(),
+            nn.ReflectionPad2d(1), nn.Conv2d(ch, ch, 3),
+            nn.InstanceNorm2d(ch, True))
 
     def forward(self, x):
         return F.relu(x + self.f(x))
@@ -150,58 +152,113 @@ class Encoder(nn.Module):
         return self.mu(h).flatten(1), self.lv(h).flatten(1)
 
 
-def measure_torch_proxy(batch=32, size=64, steps=10, warmup=2, zdim=16):
-    torch.manual_seed(0)
-    g_ab, g_ba = GenAB(zdim), gen_ba()
-    d_a, d_b, d_z, enc = disc_global(), disc_patch(), disc_latent(zdim), Encoder(zdim)
+def reference_weights_init(m):
+    """The reference's init scheme (networks.py:13-21 + custom-IN reset,
+    quirk Q7): Conv* ~ N(0,0.02) bias 0; BatchNorm2d w~N(1,0.02) b=0;
+    affine instance norms keep the reference's near-zero scale ~ N(0,0.02);
+    Linear/BatchNorm1d keep torch defaults."""
+    if isinstance(m, (nn.Conv2d, nn.ConvTranspose2d)):
+        nn.init.normal_(m.weight, 0.0, 0.02)
+        if m.bias is not None:
+            nn.init.zeros_(m.bias)
+    elif isinstance(m, nn.BatchNorm2d):
+        nn.init.normal_(m.weight, 1.0, 0.02)
+        nn.init.zeros_(m.bias)
+    elif isinstance(m, nn.InstanceNorm2d) and m.affine:
+        nn.init.normal_(m.weight, 0.0, 0.02)
+        nn.init.zeros_(m.bias)
 
+
+def build_nets(zdim=16, seed=0, init="reference"):
+    torch.manual_seed(seed)
+    nets = dict(g_ab=GenAB(zdim), g_ba=gen_ba(), d_a=disc_global(),
+                d_b=disc_patch(), d_z=disc_latent(zdim), enc=Encoder(zdim))
+    if init == "reference":
+        for m in nets.values():
+            m.apply(reference_weights_init)
+    return nets
+
+
+def make_optimizers(nets, lr=2e-4):
+    """G optimizers at lr, D at lr/5, Adam betas (0.5, 0.999)."""
+    opt_g = torch.optim.Adam(
+        [*nets["g_ab"].parameters(), *nets["g_ba"].parameters(),
+         *nets["enc"].parameters()], lr=lr, betas=(0.5, 0.999))
+    opt_d = torch.optim.Adam(
+        [*nets["d_a"].parameters(), *nets["d_b"].parameters(),
+         *nets["d_z"].parameters()], lr=lr / 5.0, betas=(0.5, 0.999))
+    return opt_g, opt_d
+
+
+def train_step(nets, opt_g, opt_d, A, B, z, lambda_A=1.0, lambda_B=1.0,
+               lambda_z_B=0.025, max_gnorm=500.0):
+    """One two-phase aug_cycle_gan step (D on detached fakes, then G vs the
+    updated D).  Returns a dict of float losses."""
+    g_ab, g_ba = nets["g_ab"], nets["g_ba"]
+    d_a, d_b, d_z, enc = nets["d_a"], nets["d_b"], nets["d_z"], nets["enc"]
     mse, l1 = F.mse_loss, F.l1_loss
-    opt_g = torch.optim.Adam([*g_ab.parameters(), *g_ba.parameters(),
-                              *enc.parameters()], lr=2e-4, betas=(0.5, 0.999))
-    opt_d = torch.optim.Adam([*d_a.parameters(), *d_b.parameters(),
-                              *d_z.parameters()], lr=4e-5, betas=(0.5, 0.999))
+    batch = A.shape[0]
+
+    fake_B = g_ab(A, z)
+    fake_A = g_ba(B)
+    mu, lv = enc(torch.cat([fake_A, B], 1))
+    post_z = mu[:, :, None, None]
+
+    # D phase
+    pa_f = d_a(fake_A.detach())
+    pa_t = d_a(A)
+    loss_d_a = 0.5 * (mse(pa_f, torch.zeros_like(pa_f))
+                      + mse(pa_t, torch.ones_like(pa_t)))
+    pb_f = d_b(fake_B.detach())
+    pb_t = d_b(B)
+    loss_d_b = 0.5 * (mse(pb_f, torch.zeros_like(pb_f))
+                      + mse(pb_t, torch.ones_like(pb_t)))
+    pz_f = d_z(post_z.detach().flatten(1))
+    pz_t = d_z(z.flatten(1))
+    loss_d_z = 0.5 * (mse(pz_f, torch.zeros_like(pz_f))
+                      + mse(pz_t, torch.ones_like(pz_t)))
+    ld = loss_d_a + loss_d_b + loss_d_z
+    opt_d.zero_grad()
+    ld.backward()
+    for m in (d_a, d_b, d_z):
+        torch.nn.utils.clip_grad_norm_(m.parameters(), max_gnorm)
+    opt_d.step()
+
+    # G phase (vs updated D)
+    pa = d_a(fake_A)
+    lg_a = mse(pa, torch.ones_like(pa))
+    pb = d_b(fake_B)
+    lg_b = mse(pb, torch.ones_like(pb))
+    pz = d_z(post_z.flatten(1))
+    lg_z = mse(pz, torch.ones_like(pz))
+    rec_A = g_ba(fake_B)
+    mu2, _ = enc(torch.cat([A, fake_B], 1))
+    rec_B = g_ab(fake_A, post_z)
+    cyc_A = l1(rec_A, A)
+    cyc_B = l1(rec_B, B)
+    cyc_z = l1(mu2, z.flatten(1))
+    lg = (lg_a + lg_b + lg_z + lambda_A * cyc_A + lambda_B * cyc_B
+          + lambda_z_B * cyc_z)
+    opt_g.zero_grad()
+    lg.backward()
+    for m in (g_ab, g_ba, enc):
+        torch.nn.utils.clip_grad_norm_(m.parameters(), max_gnorm)
+    opt_g.step()
+    vals = dict(D_A=loss_d_a, D_B=loss_d_b, D_z_B=loss_d_z, G_A=lg_a,
+                G_B=lg_b, G_z_B=lg_z, Cyc_A=cyc_A, Cyc_B=cyc_B, Cyc_z_B=cyc_z)
+    return {k: float(v.detach()) for k, v in vals.items()}
+
+
+def measure_torch_proxy(batch=32, size=64, steps=10, warmup=2, zdim=16):
+    nets = build_nets(zdim)
+    opt_g, opt_d = make_optimizers(nets)
 
     A = torch.rand(batch, 3, size, size) * 2 - 1
     B = torch.rand(batch, 3, size, size) * 2 - 1
 
     def one_step():
         z = torch.randn(batch, zdim, 1, 1)
-        fake_B = g_ab(A, z)
-        fake_A = g_ba(B)
-        mu, lv = enc(torch.cat([fake_A, B], 1))
-        post_z = mu[:, :, None, None]
-
-        # D phase
-        ld = (0.5 * (mse(d_a(fake_A.detach()), torch.zeros(batch, 1, 1, 1))
-                     + mse(d_a(A), torch.ones(batch, 1, 1, 1))))
-        pb = d_b(fake_B.detach())
-        ld = ld + 0.5 * (mse(pb, torch.zeros_like(pb))
-                         + mse(d_b(B), torch.ones_like(pb)))
-        pz = d_z(post_z.detach().flatten(1))
-        ld = ld + 0.5 * (mse(pz, torch.zeros_like(pz))
-                         + mse(d_z(z.flatten(1)), torch.ones_like(pz)))
-        opt_d.zero_grad()
-        ld.backward()
-        for m in (d_a, d_b, d_z):
-            torch.nn.utils.clip_grad_norm_(m.parameters(), 500.0)
-        opt_d.step()
-
-        # G phase (vs updated D)
-        pa = d_a(fake_A)
-        lg = mse(pa, torch.ones_like(pa))
-        pb = d_b(fake_B)
-        lg = lg + mse(pb, torch.ones_like(pb))
-        pz = d_z(post_z.flatten(1))
-        lg = lg + mse(pz, torch.ones_like(pz))
-        rec_A = g_ba(fake_B)
-        mu2, _ = enc(torch.cat([A, fake_B], 1))
-        rec_B = g_ab(fake_A, post_z)
-        lg = lg + l1(rec_A, A) + l1(rec_B, B) + 0.025 * l1(mu2, z.flatten(1))
-        opt_g.zero_grad()
-        lg.backward()
-        for m in (g_ab, g_ba, enc):
-            torch.nn.utils.clip_grad_norm_(m.parameters(), 500.0)
-        opt_g.step()
+        train_step(nets, opt_g, opt_d, A, B, z)
 
     for _ in range(warmup):
         one_step()
