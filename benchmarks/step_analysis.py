@@ -29,15 +29,16 @@ SIZE = 64
 
 
 def timed(fn, *args, iters=30, warmup=3):
+    """fn must return a SCALAR array — the sync fetches it host-side (a
+    4-byte transfer); fetching a full tensor over the tunnel would dominate
+    the measurement, and block_until_ready lies on this backend."""
     for _ in range(warmup):
         out = fn(*args)
-    jax.tree_util.tree_leaves(out)[0].block_until_ready()
-    # honest sync: fetch a scalar (block_until_ready lies on this backend)
-    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]))
     return (time.perf_counter() - t0) / iters
 
 

@@ -173,11 +173,17 @@ def train_model(opt: TrainConfig = None, argv=None):
             print_log(out_f, "WARNING: --continue_train set but %s missing"
                       % chk)
 
-    # data parallel over all visible devices
+    # SPMD over all visible devices: data-parallel, optionally composed
+    # with spatial (image-H) sharding via --spatial
     n_dev = opt.num_devices or len(jax.devices())
-    if n_dev > 1 and opt.batchSize % n_dev == 0:
-        model = DataParallel(model, num_devices=n_dev, axis=opt.data_axis)
-        print_log(out_f, "data-parallel over %d devices" % model.n_devices)
+    spatial = getattr(opt, "spatial", 0)
+    if n_dev > 1 and opt.batchSize % max(n_dev // max(spatial, 1), 1) == 0:
+        model = DataParallel(model, num_devices=n_dev, axis=opt.data_axis,
+                             spatial=spatial)
+        print_log(out_f, "SPMD over %d devices (%s)"
+                  % (model.n_devices,
+                     "data x space %dx%d" % (n_dev // spatial, spatial)
+                     if spatial and spatial > 1 else "data-parallel"))
 
     total_steps = 0
     timer = StepTimer()
@@ -200,7 +206,9 @@ def train_model(opt: TrainConfig = None, argv=None):
     create_sub_dirs(opt, ["vis_pred_B"])
 
     start_epoch = model.epoch if opt.continue_train else opt.epoch_count
-    mesh = model.mesh if isinstance(model, DataParallel) else None
+    is_dp = isinstance(model, DataParallel)
+    mesh = model.mesh if is_dp else None
+    space_ax = model.space_axis if is_dp else None
     trace_active = False
     for epoch in range(start_epoch, opt.niter + opt.niter_decay + 1):
         model.epoch = epoch
@@ -209,7 +217,7 @@ def train_model(opt: TrainConfig = None, argv=None):
 
         # Double-buffered host->HBM feed: input transfer overlaps compute
         # (the reference synchronously .cuda()'d every batch).
-        feed = prefetch_to_device(train_dataset, mesh)
+        feed = prefetch_to_device(train_dataset, mesh, space_axis=space_ax)
         for i, data in enumerate(feed):
             real_A, real_B = data["A"], data["B"]
             if real_A.shape[0] != real_B.shape[0]:

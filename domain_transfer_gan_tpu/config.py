@@ -107,6 +107,8 @@ class TrainConfig:
     compute_dtype: str = "float32"  # {float32, bfloat16} conv compute dtype
     data_axis: str = "data"        # mesh axis name for data parallelism
     num_devices: int = 0           # 0 = all visible devices
+    spatial: int = 0               # >1: shard image H over a 2nd mesh axis
+    #                                (data x space; GSPMD halo exchanges)
     dev_size: int = 200            # DEV_SIZE split (reference dataloader.py:11)
     legacy_eval_constants: bool = False  # reproduce Q5 hardcoded 3*64*64 consts
     profile_dir: str = ""          # if set, dump jax profiler traces here
@@ -231,6 +233,7 @@ class TrainOptions:
         p.add_argument("--pool_size", type=int, default=d.pool_size)
         p.add_argument("--resize_antialias", type=int, choices=[0, 1],
                        default=d.resize_antialias)
+        p.add_argument("--spatial", type=int, default=d.spatial)
         p.add_argument("--profile_dir", type=str, default=d.profile_dir)
         self.initialized = True
 

@@ -33,9 +33,29 @@ def make_mesh(num_devices: int = 0, axis: str = "data",
     return Mesh(np.array(devs), (axis,))
 
 
-def batch_sharding(mesh: Mesh, ndim: int = 4, axis: str = "data"
-                   ) -> NamedSharding:
-    """Shard axis 0 (batch), replicate the rest."""
+def make_mesh_2d(n_data: int, n_space: int, axes=("data", "space"),
+                 devices=None) -> Mesh:
+    """2-D mesh for composed data x spatial parallelism.
+
+    The spatial axis shards the image H dimension across chips; XLA GSPMD
+    inserts the convolution halo exchanges and turns the instance-norm
+    H,W reductions into cross-shard collectives automatically (the
+    scaling-book recipe: annotate shardings, let the compiler place the
+    communication on ICI).
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    need = n_data * n_space
+    assert len(devs) >= need, "mesh needs %d devices, have %d" % (need, len(devs))
+    return Mesh(np.array(devs[:need]).reshape(n_data, n_space), axes)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4, axis: str = "data",
+                   space_axis: Optional[str] = None) -> NamedSharding:
+    """Shard axis 0 (batch); with `space_axis` on a 2-D mesh also shard the
+    image H axis (axis 1 of NHWC tensors) spatially."""
+    if space_axis is not None and space_axis in mesh.axis_names and ndim >= 3:
+        return NamedSharding(mesh, P(axis, space_axis,
+                                     *([None] * (ndim - 2))))
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
 
 
@@ -43,11 +63,14 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, tree, axis: str = "data"):
-    """device_put every leaf with its batch axis sharded over the mesh."""
+def shard_batch(mesh: Mesh, tree, axis: str = "data",
+                space_axis: Optional[str] = None):
+    """device_put every leaf with its batch axis (and, on a 2-D mesh, its
+    image H axis) sharded over the mesh."""
     def put(x):
         x = jnp.asarray(x)
-        return jax.device_put(x, batch_sharding(mesh, x.ndim, axis))
+        return jax.device_put(x, batch_sharding(mesh, x.ndim, axis,
+                                                space_axis))
     return jax.tree_util.tree_map(put, tree)
 
 
@@ -57,7 +80,8 @@ def replicate_state(mesh: Mesh, tree):
 
 
 def prefetch_to_device(iterator: Iterable, mesh: Optional[Mesh] = None,
-                       size: int = 2, axis: str = "data") -> Iterator:
+                       size: int = 2, axis: str = "data",
+                       space_axis: Optional[str] = None) -> Iterator:
     """Double-buffered host->HBM feed: keeps `size` batches in flight so
     input transfer overlaps with compute (the reference synchronously
     .cuda()'d every batch, train.py:198-201)."""
@@ -66,7 +90,7 @@ def prefetch_to_device(iterator: Iterable, mesh: Optional[Mesh] = None,
 
     def put(batch):
         if mesh is not None:
-            return shard_batch(mesh, batch, axis)
+            return shard_batch(mesh, batch, axis, space_axis)
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(jnp.asarray(x)), batch)
 
@@ -79,17 +103,35 @@ def prefetch_to_device(iterator: Iterable, mesh: Optional[Mesh] = None,
 
 
 class DataParallel:
-    """Wraps a model (models.api.*) for multi-chip data-parallel training.
+    """Wraps a model (models.api.*) for multi-chip SPMD training.
 
     Replicates the TrainState over the mesh and shards incoming batches;
     the jitted step inside the model then runs SPMD with XLA-inserted
-    gradient collectives.  Requires batchSize % n_devices == 0.
+    gradient collectives.  Requires batchSize % n_data == 0.
+
+    With ``spatial > 1`` the mesh is 2-D (data x space) and image tensors
+    are additionally sharded along H: convolutions get GSPMD halo
+    exchanges, per-sample norm reductions become cross-shard collectives.
+    This is the TPU-native scaling axis for resolutions that exceed
+    per-chip HBM (SURVEY.md §5 "long-context" analogue); requires
+    grid_size % spatial == 0.
     """
 
-    def __init__(self, model, num_devices: int = 0, axis: str = "data"):
+    def __init__(self, model, num_devices: int = 0, axis: str = "data",
+                 spatial: int = 0, space_axis: str = "space"):
         self.model = model
-        self.mesh = make_mesh(num_devices, axis)
+        self._spatial = int(spatial) if spatial and spatial > 1 else 0
+        if self._spatial:
+            total = num_devices or len(jax.devices())
+            assert total % self._spatial == 0, \
+                "devices (%d) not divisible by spatial (%d)" % (total,
+                                                                self._spatial)
+            self.mesh = make_mesh_2d(total // self._spatial, self._spatial,
+                                     axes=(axis, space_axis))
+        else:
+            self.mesh = make_mesh(num_devices, axis)
         self.axis = axis
+        self.space_axis = space_axis if self._spatial else None
         model.state = replicate_state(self.mesh, model.state)
 
     @property
@@ -97,7 +139,8 @@ class DataParallel:
         return self.mesh.devices.size
 
     def shard(self, *arrays):
-        out = tuple(shard_batch(self.mesh, a, self.axis) for a in arrays)
+        out = tuple(shard_batch(self.mesh, a, self.axis, self.space_axis)
+                    for a in arrays)
         return out if len(out) > 1 else out[0]
 
     def train_instance(self, real_A, real_B, prior_z_B=None):
