@@ -202,6 +202,99 @@ def test_same_seed_same_losses():
             assert l1[k] == l2[k], k
 
 
+def test_concat_d_scoring_grad_equivalence():
+    """The concatenated fake|real discriminator forward must produce the
+    same loss and (up to reduction reassociation) the same gradients as
+    two separate forwards — the invariant behind the concat optimization."""
+    import functools
+    from domain_transfer_gan_tpu.models.state import init_state
+    from domain_transfer_gan_tpu.models.steps import apply_net
+    from domain_transfer_gan_tpu.ops.numerics import criterion_gan
+
+    gan = functools.partial(criterion_gan, use_sigmoid=False)
+    cfg = tiny_cfg()
+    nets, state = init_state(cfg, jax.random.PRNGKey(0), image_size=64)
+    A, B = batch(4, seed=9)
+    p, st = state.params["netD_B"], state.batch_stats["netD_B"]
+
+    def loss_sep(p):
+        pf, _ = apply_net(nets["netD_B"], p, st, A)
+        pt, _ = apply_net(nets["netD_B"], p, st, B)
+        return 0.5 * (gan(pf, False) + gan(pt, True))
+
+    def loss_cat(p):
+        pr, _ = apply_net(nets["netD_B"], p, st,
+                          jnp.concatenate([A, B], axis=0))
+        pf, pt = jnp.split(pr, 2, axis=0)
+        return 0.5 * (gan(pf, False) + gan(pt, True))
+
+    l1, g1 = jax.jit(jax.value_and_grad(loss_sep))(p)
+    l2, g2 = jax.jit(jax.value_and_grad(loss_cat))(p)
+    assert np.isclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_shared_forward_vjp_grad_equivalence():
+    """The vjp-restructured G grads (shared phase-0 forward + pullback)
+    must equal the naive formulation that re-runs the forwards inside the
+    loss.  Checked on the stoch step's G objective with frozen D."""
+    import functools
+    from domain_transfer_gan_tpu.models.state import init_state
+    from domain_transfer_gan_tpu.models.steps import apply_net
+    from domain_transfer_gan_tpu.ops.numerics import criterion_gan, l1_loss
+
+    gan = functools.partial(criterion_gan, use_sigmoid=False)
+    cfg = tiny_cfg(model="stoch_cycle_gan")
+    nets, state = init_state(cfg, jax.random.PRNGKey(1), image_size=64)
+    A, B = batch(2, seed=10)
+    z = jnp.asarray(np.random.RandomState(3).randn(2, 8).astype(np.float32))
+    p, stats = state.params, state.batch_stats
+
+    def g_obj(gp, fb, fa):
+        pf_A, _ = apply_net(nets["netD_A"], p["netD_A"], stats["netD_A"], fa)
+        pf_B, _ = apply_net(nets["netD_B"], p["netD_B"], stats["netD_B"], fb)
+        rec_A, _ = apply_net(nets["netG_B_A"], gp["netG_B_A"],
+                             stats["netG_B_A"], fb)
+        rec_B, _ = apply_net(nets["netG_A_B"], gp["netG_A_B"],
+                             stats["netG_A_B"], fa, z)
+        return (gan(pf_A, True) + gan(pf_B, True)
+                + l1_loss(rec_A, A) + l1_loss(rec_B, B))
+
+    def shared(gp):
+        fb, _ = apply_net(nets["netG_A_B"], gp["netG_A_B"],
+                          stats["netG_A_B"], A, z)
+        fa, _ = apply_net(nets["netG_B_A"], gp["netG_B_A"],
+                          stats["netG_B_A"], B)
+        return fb, fa
+
+    gp = {k: p[k] for k in ("netG_A_B", "netG_B_A")}
+
+    # naive: recompute the forwards inside the loss (round-1 structure)
+    def naive_loss(gp):
+        fb, fa = shared(gp)
+        return g_obj(gp, fb, fa)
+    g_naive = jax.jit(jax.grad(naive_loss))(gp)
+
+    # restructured: primals once + pullback, direct grads added
+    @jax.jit
+    def restructured(gp):
+        (fb, fa), pullback = jax.vjp(shared, gp)
+        (d_fakes, g_direct) = jax.grad(
+            lambda fakes, gp2: g_obj(gp2, *fakes), argnums=(0, 1))(
+            (fb, fa), gp)
+        (g_shared,) = pullback(d_fakes)
+        return jax.tree_util.tree_map(jnp.add, g_shared, g_direct)
+    g_new = restructured(gp)
+
+    for a, b in zip(jax.tree_util.tree_leaves(g_naive),
+                    jax.tree_util.tree_leaves(g_new)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
 def test_batch_norm_variant_step():
     """--norm batch puts BatchNorm into G_B_A/D_A/D_B; the step must thread
     their running stats through both phases."""
