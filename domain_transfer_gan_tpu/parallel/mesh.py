@@ -157,6 +157,31 @@ class DataParallel:
             prior_z_B = self.shard(jnp.asarray(prior_z_B))
         return self.model.supervised_train_instance(real_A, real_B, prior_z_B)
 
+    # -- sharded inference: generation helpers fan the batch over the mesh
+    # (without this the replicated-param jit computes the full batch on
+    # every device).  Falls back to replicated compute when the batch does
+    # not divide the mesh.
+    def _maybe_shard(self, x):
+        x = jnp.asarray(x)
+        n_data = self.mesh.shape[self.axis]
+        ok = x.shape[0] % n_data == 0
+        if ok and self.space_axis is not None and x.ndim >= 3:
+            ok = x.shape[1] % self.mesh.shape[self.space_axis] == 0
+        if not ok:
+            return x
+        return shard_batch(self.mesh, x, self.axis, self.space_axis)
+
+    def predict_A(self, real_B):
+        return self.model.predict_A(self._maybe_shard(real_B))
+
+    def predict_B(self, real_A, z_B):
+        return self.model.predict_B(self._maybe_shard(real_A),
+                                    self._maybe_shard(z_B))
+
+    def generate_multi(self, real_A, multi_prior_z_B):
+        return self.model.generate_multi(self._maybe_shard(real_A),
+                                         jnp.asarray(multi_prior_z_B))
+
     _own_attrs = frozenset({"model", "mesh", "axis"})
 
     def __getattr__(self, name):

@@ -117,6 +117,19 @@ def test_data_parallel_setattr_reaches_inner_model(tmp_path):
     assert int(fresh.state.step) == 1
 
 
+def test_data_parallel_sharded_inference_matches_single():
+    rng = np.random.RandomState(5)
+    B = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    m1 = create_model(tiny_cfg(), testing=True)
+    want = np.asarray(m1.predict_A(jnp.asarray(B)))
+    dp = DataParallel(create_model(tiny_cfg(), testing=True), num_devices=8)
+    got = np.asarray(dp.predict_A(B))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    # non-divisible batch falls back to replicated compute, same result
+    got5 = np.asarray(dp.predict_A(B[:5]))
+    np.testing.assert_allclose(got5, want[:5], rtol=2e-4, atol=2e-5)
+
+
 def test_prefetch_to_device():
     mesh = make_mesh(num_devices=2)
     batches = [{"A": np.full((4, 2, 2, 3), i, np.float32)} for i in range(5)]
