@@ -181,11 +181,21 @@ def variational_ubo(model, real_A, real_B, steps: int, visualize: bool = False,
     real_A = jnp.asarray(real_A)
     real_B = jnp.asarray(real_B)
     n_real = real_A.shape[0]
+    # under a DataParallel wrapper, shard the eval batch over the mesh —
+    # round the pad target up to a mesh multiple so the zero-weight rows
+    # absorb the remainder and every chip gets an equal shard
+    mesh = getattr(model, "mesh", None)
+    n_data = mesh.shape[getattr(model, "axis", "data")] if mesh is not None \
+        else 1
+    if mesh is not None:
+        pad_to = -(-max(pad_to or n_real, n_real) // n_data) * n_data
     if pad_to is not None and n_real < pad_to:
         pad = pad_to - n_real
         real_A = jnp.concatenate([real_A, jnp.repeat(real_A[:1], pad, 0)])
         real_B = jnp.concatenate([real_B, jnp.repeat(real_B[:1], pad, 0)])
     n = real_A.shape[0]
+    if mesh is not None and n % n_data == 0:
+        real_A, real_B = model.shard(real_A, real_B)
     mask = (jnp.arange(n) < n_real).astype(real_B.dtype)
     vis_batch = min(vis_batch, n_real)
     nlat = model.opt.nlatent

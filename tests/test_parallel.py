@@ -130,6 +130,29 @@ def test_data_parallel_sharded_inference_matches_single():
     np.testing.assert_allclose(got5, want[:5], rtol=2e-4, atol=2e-5)
 
 
+def test_data_parallel_ubo_eval_matches_single():
+    """eval_ubo_B under DataParallel shards the eval batch over the mesh
+    and must reproduce the single-device numbers (same rng stream, batch
+    already a mesh multiple so padding is identical)."""
+    import jax as _jax
+    from domain_transfer_gan_tpu.data import AlignedIterator
+    from domain_transfer_gan_tpu.eval import eval_ubo_B
+
+    rng = np.random.RandomState(6)
+    A = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    B = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+
+    m1 = create_model(tiny_cfg(), testing=True)
+    m1._rng = _jax.random.PRNGKey(77)
+    want = eval_ubo_B(AlignedIterator(A, B, batch_size=8), m1, steps=3)
+
+    dp = DataParallel(create_model(tiny_cfg(), testing=True), num_devices=4)
+    dp.model._rng = _jax.random.PRNGKey(77)  # _-prefixed attrs stay local
+    got = eval_ubo_B(AlignedIterator(A, B, batch_size=8), dp, steps=3)
+    for w, g in zip(want, got):
+        assert np.isclose(w, g, rtol=5e-3, atol=1e-4), (want, got)
+
+
 def test_prefetch_to_device():
     mesh = make_mesh(num_devices=2)
     batches = [{"A": np.full((4, 2, 2, 3), i, np.float32)} for i in range(5)]
