@@ -80,13 +80,15 @@ def eval_mse_A(dataset, model) -> float:
 
         model._jit_cache[cache_key] = f
     f = model._jit_cache[cache_key]
+    # under DataParallel, fan the eval batch over the mesh
+    maybe_shard = getattr(model, "_maybe_shard", lambda x: jnp.asarray(x))
     vals = []
     for batch in dataset:
         rng = (model.next_key() if (train and use_dropout)
                else jax.random.PRNGKey(0))
         vals.append(f(model.state.params["netG_B_A"],
                       model.state.batch_stats["netG_B_A"],
-                      jnp.asarray(batch["A"]), jnp.asarray(batch["B"]), rng))
+                      maybe_shard(batch["A"]), maybe_shard(batch["B"]), rng))
     return float(np.mean([float(v) for v in vals]))
 
 
@@ -194,8 +196,9 @@ def variational_ubo(model, real_A, real_B, steps: int, visualize: bool = False,
         real_A = jnp.concatenate([real_A, jnp.repeat(real_A[:1], pad, 0)])
         real_B = jnp.concatenate([real_B, jnp.repeat(real_B[:1], pad, 0)])
     n = real_A.shape[0]
-    if mesh is not None and n % n_data == 0:
-        real_A, real_B = model.shard(real_A, real_B)
+    if mesh is not None:
+        real_A = model._maybe_shard(real_A)
+        real_B = model._maybe_shard(real_B)
     mask = (jnp.arange(n) < n_real).astype(real_B.dtype)
     vis_batch = min(vis_batch, n_real)
     nlat = model.opt.nlatent
