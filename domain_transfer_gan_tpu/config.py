@@ -117,6 +117,8 @@ class TrainConfig:
     resize_antialias: int = 1      # 1 = skimage-parity Gaussian pre-filter on
     #                                downscale (reference dataloader.py:26-31);
     #                                0 = plain jax triangle-filter resize
+    ckpt_backend: str = "flax"     # {flax, orbax}: single-file bytes vs
+    #                                orbax checkpoint dirs (loads auto-detect)
 
     # derived (filled by parse/finalize)
     expr_dir: str = ""
@@ -234,6 +236,8 @@ class TrainOptions:
         p.add_argument("--resize_antialias", type=int, choices=[0, 1],
                        default=d.resize_antialias)
         p.add_argument("--spatial", type=int, default=d.spatial)
+        p.add_argument("--ckpt_backend", type=str, default=d.ckpt_backend,
+                       choices=["flax", "orbax"])
         p.add_argument("--profile_dir", type=str, default=d.profile_dir)
         self.initialized = True
 

@@ -125,11 +125,22 @@ class _CycleGANBase:
             "epoch": np.int64(self.epoch),
         }
 
+    def _orbax(self):
+        if not hasattr(self, "_orbax_ckpt"):
+            from ..utils.checkpoint import OrbaxCheckpointer
+            self._orbax_ckpt = OrbaxCheckpointer()
+        return self._orbax_ckpt
+
     def save(self, chk_name: str, async_save: bool = False):
-        """Write a checkpoint; with async_save the disk write happens on a
-        background thread (utils.checkpoint.AsyncCheckpointer) so the train
-        loop never stalls on IO."""
+        """Write a checkpoint; with async_save the disk write happens in the
+        background (utils.checkpoint) so the train loop never stalls on IO.
+        Backend per --ckpt_backend: 'flax' single-file bytes (default) or
+        'orbax' checkpoint directories."""
         chk_path = os.path.join(self.opt.expr_dir, chk_name)
+        if getattr(self.opt, "ckpt_backend", "flax") == "orbax":
+            self._orbax().save(chk_path, self._ckpt_payload(),
+                               async_save=async_save)
+            return
         if async_save:
             if not hasattr(self, "_async_ckpt"):
                 from ..utils.checkpoint import AsyncCheckpointer
@@ -143,12 +154,20 @@ class _CycleGANBase:
     def wait_for_saves(self):
         if hasattr(self, "_async_ckpt"):
             self._async_ckpt.wait()
+        if hasattr(self, "_orbax_ckpt"):
+            self._orbax_ckpt.wait()
 
     def load(self, chk_path: str):
+        """Restore a checkpoint, auto-detecting the backend by path type
+        (directory -> orbax, file -> flax bytes) so either backend's
+        checkpoints load regardless of the current --ckpt_backend."""
         self.wait_for_saves()
-        with open(chk_path, "rb") as f:
-            data = f.read()
-        payload = serialization.from_bytes(self._ckpt_payload(), data)
+        if os.path.isdir(chk_path):
+            payload = self._orbax().restore(chk_path, self._ckpt_payload())
+        else:
+            with open(chk_path, "rb") as f:
+                data = f.read()
+            payload = serialization.from_bytes(self._ckpt_payload(), data)
         self.state = TrainState(
             params=payload["params"], batch_stats=payload["batch_stats"],
             opt_state=payload["opt_state"],

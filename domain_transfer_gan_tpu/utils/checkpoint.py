@@ -57,3 +57,37 @@ class AsyncCheckpointer:
 def load_checkpoint(path: str, target):
     with open(path, "rb") as f:
         return serialization.from_bytes(target, f.read())
+
+
+class OrbaxCheckpointer:
+    """Orbax-backed checkpoint backend (``--ckpt_backend orbax``).
+
+    Writes a checkpoint *directory* per name (same latest/best_A/best_B
+    contract); async saves go through orbax's AsyncCheckpointer so the
+    train loop never blocks.  Loads are auto-detected by path type in
+    models.api (directory -> orbax, file -> flax bytes), so the two
+    backends' checkpoints interoperate.
+    """
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+        self._ocp = ocp
+        self._sync = ocp.StandardCheckpointer()
+        self._async = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def save(self, path: str, payload, async_save: bool = False) -> None:
+        path = os.path.abspath(path)
+        if async_save:
+            self._async.save(path,
+                             args=self._ocp.args.StandardSave(payload),
+                             force=True)
+        else:
+            self._sync.save(path, payload, force=True)
+
+    def restore(self, path: str, template):
+        # restore against the template's structure/shapes/dtypes
+        return self._sync.restore(os.path.abspath(path),
+                                  jax.device_get(template))
+
+    def wait(self) -> None:
+        self._async.wait_until_finished()

@@ -162,6 +162,27 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(m2.state.step) == int(m.state.step)
 
 
+def test_checkpoint_roundtrip_orbax(tmp_path):
+    """--ckpt_backend orbax writes checkpoint dirs; loads auto-detect the
+    backend by path type, including the async save path."""
+    cfg = tiny_cfg(ckpt_backend="orbax")
+    cfg.expr_dir = str(tmp_path)
+    m = create_model(cfg, testing=True)
+    A, B = batch()
+    m.train_instance(A, B)
+    m.epoch = 5
+    m.save("latest", async_save=True)
+    m.wait_for_saves()
+    assert (tmp_path / "latest").is_dir()
+
+    m2 = create_model(tiny_cfg(seed=123), testing=True)  # default backend
+    m2.opt.expr_dir = str(tmp_path)
+    m2.load(str(tmp_path / "latest"))
+    assert _leaf_diff(m.state.params, m2.state.params) == 0.0
+    assert _leaf_diff(m.state.opt_state, m2.state.opt_state) == 0.0
+    assert m2.epoch == 5 and int(m2.state.step) == int(m.state.step)
+
+
 def test_generation_api():
     cfg = tiny_cfg()
     m = create_model(cfg, testing=True)
