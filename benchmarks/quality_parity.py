@@ -64,6 +64,45 @@ def run_torch(dataroot, out, epochs, niter, batch, seed, eval_freq,
     opt_g, opt_d = make_optimizers(nets)
     train_it, (devA, devB), _ = _load(dataroot, iter_seed, batch)
 
+    # ---- resume: this arm runs for hours on a single CPU core, so every
+    # epoch checkpoints nets + optimizers + both RNG streams (torch for
+    # z/eps, the iterator's numpy RandomState for batch order) and restores
+    # them on restart, keeping the trajectory identical to an uninterrupted
+    # run.
+    ckpt_path = out + ".ckpt.pt"
+    history = []
+    start_epoch = 1
+    lr = 2e-4
+    import os
+    if os.path.exists(ckpt_path):
+        ck = torch.load(ckpt_path, weights_only=False)
+        for k in nets:
+            nets[k].load_state_dict(ck["nets"][k])
+        opt_g.load_state_dict(ck["opt_g"])
+        opt_d.load_state_dict(ck["opt_d"])
+        torch.set_rng_state(ck["torch_rng"])
+        train_it.rng.set_state(ck["np_rng"])
+        # the iterator auto-resets at StopIteration, i.e. the next epoch's
+        # permutations were already drawn when the checkpoint was written —
+        # restore them as-is (re-calling reset() would burn an extra draw
+        # and diverge from the uninterrupted trajectory)
+        train_it.data_indices = ck["data_indices"]
+        train_it.batch_idx = 0
+        history = ck["history"]
+        start_epoch = ck["epoch"] + 1
+        lr = ck["lr"]
+        print("[torch] resumed from epoch %d" % ck["epoch"], flush=True)
+
+    def save_ckpt(epoch):
+        torch.save({"nets": {k: v.state_dict() for k, v in nets.items()},
+                    "opt_g": opt_g.state_dict(),
+                    "opt_d": opt_d.state_dict(),
+                    "torch_rng": torch.get_rng_state(),
+                    "np_rng": train_it.rng.get_state(),
+                    "data_indices": train_it.data_indices,
+                    "history": history, "epoch": epoch, "lr": lr},
+                   ckpt_path)
+
     def to_t(x):  # NHWC numpy -> NCHW torch
         return torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
 
@@ -81,9 +120,7 @@ def run_torch(dataroot, out, epochs, niter, batch, seed, eval_freq,
         fid = _fid(devB, np.concatenate(fakes))
         return float(np.mean(mses)), fid
 
-    history = []
-    lr = 2e-4
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
         ep_losses = []
         for data in train_it:
@@ -107,6 +144,7 @@ def run_torch(dataroot, out, epochs, niter, batch, seed, eval_freq,
                 g["lr"] = lr
             for g in opt_d.param_groups:
                 g["lr"] = lr / 5.0
+        save_ckpt(epoch)
     return history
 
 

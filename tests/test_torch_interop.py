@@ -1,0 +1,217 @@
+"""Checkpoint interop tests: reference torch checkpoints <-> TrainState.
+
+The oracle is tests/torch_reference_fixture.py — torch modules with the
+reference's exact state_dict naming and forward math.  A checkpoint written
+by the fixture is byte-compatible with one written by the reference
+(model.py:293-303/750-764), so import parity here is import parity there.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from domain_transfer_gan_tpu.config import TrainConfig
+from domain_transfer_gan_tpu.models import create_model
+from domain_transfer_gan_tpu.utils.torch_interop import (
+    export_torch_checkpoint,
+    import_torch_checkpoint,
+)
+
+from torch_reference_fixture import build_reference_nets, reference_checkpoint
+
+ZDIM = 16
+
+
+def _cfg(model="aug_cycle_gan"):
+    cfg = TrainConfig(model=model, grid_size=64, ngf=8, ndf=8, nef=8,
+                      nlatent=ZDIM, batchSize=4, monitor_gnorm=False, seed=0)
+    cfg.expr_dir = ""
+    return cfg
+
+
+def _nhwc(x):
+    return np.transpose(x.detach().numpy(), (0, 2, 3, 1))
+
+
+@pytest.fixture(scope="module")
+def imported(tmp_path_factory):
+    """Fixture nets + a model with the fixture's checkpoint imported."""
+    nets = build_reference_nets(zdim=ZDIM, ngf=8, ndf=8, nef=8, seed=11)
+    ckpt = reference_checkpoint(nets, aug=True, adam_steps=3)
+    path = str(tmp_path_factory.mktemp("interop") / "latest")
+    torch.save(ckpt, path)
+    model = create_model(_cfg(), testing=True)
+    report = import_torch_checkpoint(path, model)
+    assert any("netG_A_B" in r for r in report)
+    return nets, ckpt, model
+
+
+def test_import_generator_AB_forward_parity(imported):
+    nets, _, model = imported
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)
+    z = rng.randn(2, ZDIM).astype(np.float32)
+    with torch.no_grad():
+        ref = nets["netG_A_B"](torch.from_numpy(x),
+                               torch.from_numpy(z[:, :, None, None]))
+    got = np.asarray(model.predict_B(np.transpose(x, (0, 2, 3, 1)), z))
+    np.testing.assert_allclose(got, _nhwc(ref), atol=2e-4, rtol=1e-3)
+
+
+def test_import_generator_BA_forward_parity(imported):
+    nets, _, model = imported
+    rng = np.random.RandomState(1)
+    x = rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = nets["netG_B_A"](torch.from_numpy(x))
+    got = np.asarray(model.predict_A(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(got, _nhwc(ref), atol=2e-4, rtol=1e-3)
+
+
+def test_import_discriminators_forward_parity(imported):
+    nets, _, model = imported
+    rng = np.random.RandomState(2)
+    x = rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)
+    xj = np.transpose(x, (0, 2, 3, 1))
+    with torch.no_grad():
+        ref_A = nets["netD_A"](torch.from_numpy(x))
+        ref_B = nets["netD_B"](torch.from_numpy(x))
+    got_A = np.asarray(model._apply("netD_A", xj))
+    got_B = np.asarray(model._apply("netD_B", xj))
+    np.testing.assert_allclose(got_A[..., 0], ref_A.numpy()[:, 0],
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(got_B[..., 0], ref_B.numpy()[:, 0],
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_import_encoder_and_latent_D_running_stats(imported):
+    """Eval-mode forwards exercise the imported BatchNorm running stats."""
+    nets, _, model = imported
+    rng = np.random.RandomState(3)
+    ab = rng.uniform(-1, 1, (4, 6, 64, 64)).astype(np.float32)
+    z = rng.randn(4, ZDIM).astype(np.float32)
+    model.eval()
+    nets["netE_B"].eval()
+    nets["netD_z_B"].eval()
+    try:
+        with torch.no_grad():
+            mu_t, lv_t = nets["netE_B"](torch.from_numpy(ab))
+            dz_t = nets["netD_z_B"](torch.from_numpy(z))
+        mu_j, lv_j = model._apply("netE_B", np.transpose(ab, (0, 2, 3, 1)))
+        dz_j = model._apply("netD_z_B", z)
+        np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(lv_j), lv_t.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(dz_j), dz_t.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+    finally:
+        model.train()
+
+
+def test_import_adam_moments(imported):
+    nets, ckpt, model = imported
+    # netG_B_A is optimizer_G_A's whole group: first tensor is conv0.weight
+    st = ckpt["optimizer_G_A"]["state"]
+    first = st[min(st.keys())]
+    ost = model.state.opt_state["netG_B_A"]
+    assert int(np.asarray(ost.count)) == int(first["step"])
+    got = np.asarray(ost.mu["conv0"]["kernel"])
+    want = np.transpose(first["exp_avg"].numpy(), (2, 3, 1, 0))
+    np.testing.assert_allclose(got, want, atol=1e-7)
+    # second-moment leaf too
+    got2 = np.asarray(ost.nu["conv0"]["kernel"])
+    want2 = np.transpose(first["exp_avg_sq"].numpy(), (2, 3, 1, 0))
+    np.testing.assert_allclose(got2, want2, atol=1e-7)
+
+
+def test_export_keys_match_reference_naming(imported, tmp_path):
+    """Exported state dicts must be loadable by reference-shaped modules
+    (only torch>=1.0's num_batches_tracked may be missing)."""
+    nets, _, model = imported
+    out = str(tmp_path / "export.pt")
+    export_torch_checkpoint(model, out)
+    ex = torch.load(out, weights_only=False)
+    for name, net in nets.items():
+        missing, unexpected = net.load_state_dict(ex[name], strict=False)
+        assert not unexpected, (name, unexpected)
+        assert all("num_batches_tracked" in k for k in missing), (name, missing)
+    for k in ("optimizer_G_A", "optimizer_G_B", "optimizer_D_A",
+              "optimizer_D_B"):
+        assert ex[k]["param_groups"][0]["params"] == sorted(ex[k]["state"])
+
+
+def test_export_import_round_trip(imported, tmp_path):
+    """export -> import into a fresh model reproduces every leaf."""
+    import jax
+
+    _, _, model = imported
+    out = str(tmp_path / "roundtrip.pt")
+    export_torch_checkpoint(model, out)
+    other = create_model(_cfg(), testing=True)
+    import_torch_checkpoint(out, other)
+    for a, b in zip(jax.tree_util.tree_leaves(model.state.params),
+                    jax.tree_util.tree_leaves(other.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(model.state.batch_stats),
+                    jax.tree_util.tree_leaves(other.state.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(model.state.opt_state),
+                    jax.tree_util.tree_leaves(other.state.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_import_cli_end_to_end(imported, tmp_path):
+    """CLI: torch checkpoint + opt dump -> native checkpoint loadable by
+    model.load, then --export back to torch."""
+    import dataclasses
+    import json
+
+    import jax
+
+    from domain_transfer_gan_tpu.cli.import_torch import main as cli_main
+
+    nets, ckpt, model = imported
+    expr = tmp_path / "ref_expr"
+    expr.mkdir()
+    torch.save(ckpt, str(expr / "latest"))
+    with open(expr / "opt.json", "w") as f:
+        json.dump(dataclasses.asdict(_cfg()), f)
+
+    assert cli_main(["--torch_chk", str(expr / "latest"),
+                     "--out", str(tmp_path / "jax_expr" / "latest")]) == 0
+    loaded = create_model(_cfg(), testing=True)
+    loaded.load(str(tmp_path / "jax_expr" / "latest"))
+    for a, b in zip(jax.tree_util.tree_leaves(model.state.params),
+                    jax.tree_util.tree_leaves(loaded.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    with open(tmp_path / "jax_expr" / "opt.json", "w") as f:
+        json.dump(dataclasses.asdict(_cfg()), f)
+    assert cli_main(["--export", "--chk", str(tmp_path / "jax_expr" / "latest"),
+                     "--torch_out", str(tmp_path / "back.pt")]) == 0
+    back = torch.load(str(tmp_path / "back.pt"), weights_only=False)
+    np.testing.assert_allclose(
+        back["netG_A_B"]["model.1.weight"].numpy(),
+        ckpt["netG_A_B"]["model.1.weight"].numpy(), atol=1e-7)
+
+
+def test_import_stoch_variant(tmp_path):
+    nets = build_reference_nets(zdim=ZDIM, ngf=8, ndf=8, seed=21, aug=False)
+    ckpt = reference_checkpoint(nets, aug=False, adam_steps=2)
+    path = str(tmp_path / "stoch")
+    torch.save(ckpt, path)
+    model = create_model(_cfg("stoch_cycle_gan"), testing=True)
+    import_torch_checkpoint(path, model)
+    rng = np.random.RandomState(5)
+    x = rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)
+    z = rng.randn(2, ZDIM).astype(np.float32)
+    with torch.no_grad():
+        ref = nets["netG_A_B"](torch.from_numpy(x),
+                               torch.from_numpy(z[:, :, None, None]))
+    got = np.asarray(model.predict_B(np.transpose(x, (0, 2, 3, 1)), z))
+    np.testing.assert_allclose(got, _nhwc(ref), atol=2e-4, rtol=1e-3)
+    # shared-group optimizer: netG_A_B and netG_B_A split optimizer_G
+    assert int(np.asarray(model.state.opt_state["netG_A_B"].count)) == 2
+    assert int(np.asarray(model.state.opt_state["netG_B_A"].count)) == 2
