@@ -82,11 +82,24 @@ def visualize_inference(opt, real_A, real_B, model, eidx, uidx):
     copyfile(save_path, os.path.join(opt.vis_latest, "inf.png"))
 
 
+def _force_host_devices(n: int) -> None:
+    """Force an n-virtual-device CPU platform (for driving the SPMD paths
+    without n real chips).  Env vars are unreliable here — this
+    environment's interpreter startup rewrites JAX_PLATFORMS — but the
+    programmatic config route wins as long as the backend is untouched."""
+    jax.config.update("jax_num_cpu_devices", n)
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.local_device_count() >= n, (
+        "backend already initialized before --host_devices could apply")
+
+
 def train_model(opt: TrainConfig = None, argv=None):
     if opt is None:
         opt = TrainOptions().parse(
             sub_dirs=["vis_multi", "vis_cycle", "vis_latest",
                       "train_vis_cycle"], args=argv)
+    if getattr(opt, "host_devices", 0):
+        _force_host_devices(opt.host_devices)
     out_f = open(os.path.join(opt.expr_dir, "results.txt"), "w")
     copy_scripts_to_folder(opt.expr_dir)
 
@@ -174,16 +187,21 @@ def train_model(opt: TrainConfig = None, argv=None):
                       % chk)
 
     # SPMD over all visible devices: data-parallel, optionally composed
-    # with spatial (image-H) sharding via --spatial
+    # with spatial (image-H) sharding via --spatial and tensor (channel)
+    # sharding via --tensor
     n_dev = opt.num_devices or len(jax.devices())
     spatial = getattr(opt, "spatial", 0)
-    if n_dev > 1 and opt.batchSize % max(n_dev // max(spatial, 1), 1) == 0:
+    tensor = getattr(opt, "tensor", 0)
+    per_data = max(spatial, 1) * max(tensor, 1)
+    if n_dev > 1 and opt.batchSize % max(n_dev // per_data, 1) == 0:
         model = DataParallel(model, num_devices=n_dev, axis=opt.data_axis,
-                             spatial=spatial)
+                             spatial=spatial, tensor=tensor)
+        desc = "data-parallel"
+        if per_data > 1:
+            desc = "data x space x model %dx%dx%d" % (
+                n_dev // per_data, max(spatial, 1), max(tensor, 1))
         print_log(out_f, "SPMD over %d devices (%s)"
-                  % (model.n_devices,
-                     "data x space %dx%d" % (n_dev // spatial, spatial)
-                     if spatial and spatial > 1 else "data-parallel"))
+                  % (model.n_devices, desc))
 
     total_steps = 0
     timer = StepTimer()

@@ -109,6 +109,10 @@ class TrainConfig:
     num_devices: int = 0           # 0 = all visible devices
     spatial: int = 0               # >1: shard image H over a 2nd mesh axis
     #                                (data x space; GSPMD halo exchanges)
+    tensor: int = 0                # >1: channel-shard params+Adam moments
+    #                                over a 'model' mesh axis (tensor par.)
+    host_devices: int = 0          # >0: force an N-virtual-device CPU
+    #                                platform (drive SPMD without chips)
     dev_size: int = 200            # DEV_SIZE split (reference dataloader.py:11)
     legacy_eval_constants: bool = False  # reproduce Q5 hardcoded 3*64*64 consts
     profile_dir: str = ""          # if set, dump jax profiler traces here
@@ -236,6 +240,8 @@ class TrainOptions:
         p.add_argument("--resize_antialias", type=int, choices=[0, 1],
                        default=d.resize_antialias)
         p.add_argument("--spatial", type=int, default=d.spatial)
+        p.add_argument("--tensor", type=int, default=d.tensor)
+        p.add_argument("--host_devices", type=int, default=d.host_devices)
         p.add_argument("--ckpt_backend", type=str, default=d.ckpt_backend,
                        choices=["flax", "orbax"])
         p.add_argument("--profile_dir", type=str, default=d.profile_dir)

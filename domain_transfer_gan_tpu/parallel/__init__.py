@@ -1,6 +1,9 @@
 from .mesh import (
     make_mesh,
+    make_mesh_axes,
     batch_sharding,
+    param_shardings,
+    shard_params,
     replicated_sharding,
     shard_batch,
     replicate_state,

@@ -49,6 +49,46 @@ def make_mesh_2d(n_data: int, n_space: int, axes=("data", "space"),
     return Mesh(np.array(devs[:need]).reshape(n_data, n_space), axes)
 
 
+def make_mesh_axes(sizes, devices=None) -> Mesh:
+    """N-D mesh from an ordered [(axis_name, size), ...] spec."""
+    devs = list(devices if devices is not None else jax.devices())
+    names = tuple(n for n, _ in sizes)
+    shape = tuple(s for _, s in sizes)
+    need = int(np.prod(shape))
+    assert len(devs) >= need, "mesh needs %d devices, have %d" % (need,
+                                                                  len(devs))
+    return Mesh(np.array(devs[:need]).reshape(shape), names)
+
+
+def param_shardings(mesh: Mesh, tree, axis: str = "model",
+                    min_size: int = 1024):
+    """Tensor-parallel placement rule: shard each large parameter leaf on its
+    LAST axis (output channels for conv kernels, features for dense kernels)
+    over the ``model`` mesh axis when divisible; everything else replicated.
+
+    Applied uniformly to params AND the Adam moment trees (same shapes), so
+    the optimizer state — the dominant memory after activations — is sharded
+    too.  XLA GSPMD propagates the channel sharding through the convolutions
+    and inserts the reduce/all-gather collectives (the scaling-book recipe:
+    annotate, let the compiler place communication).
+    """
+    n = mesh.shape[axis]
+
+    def spec(x):
+        if (hasattr(x, "ndim") and x.ndim >= 1 and x.size >= min_size
+                and x.shape[-1] % n == 0):
+            return NamedSharding(mesh, P(*([None] * (x.ndim - 1)), axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
+def shard_params(mesh: Mesh, tree, axis: str = "model",
+                 min_size: int = 1024):
+    shardings = param_shardings(mesh, tree, axis, min_size)
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 4, axis: str = "data",
                    space_axis: Optional[str] = None) -> NamedSharding:
     """Shard axis 0 (batch); with `space_axis` on a 2-D mesh also shard the
@@ -109,30 +149,50 @@ class DataParallel:
     the jitted step inside the model then runs SPMD with XLA-inserted
     gradient collectives.  Requires batchSize % n_data == 0.
 
-    With ``spatial > 1`` the mesh is 2-D (data x space) and image tensors
+    With ``spatial > 1`` the mesh gains a 'space' axis and image tensors
     are additionally sharded along H: convolutions get GSPMD halo
     exchanges, per-sample norm reductions become cross-shard collectives.
     This is the TPU-native scaling axis for resolutions that exceed
     per-chip HBM (SURVEY.md §5 "long-context" analogue); requires
     grid_size % spatial == 0.
+
+    With ``tensor > 1`` the mesh gains a 'model' axis and parameters +
+    Adam moments are channel-sharded over it (see :func:`param_shardings`)
+    — tensor parallelism for configs whose weights/optimizer state exceed
+    per-chip HBM (large ngf / n_blocks).  All three axes compose:
+    num_devices = data * spatial * tensor.
     """
 
     def __init__(self, model, num_devices: int = 0, axis: str = "data",
-                 spatial: int = 0, space_axis: str = "space"):
+                 spatial: int = 0, space_axis: str = "space",
+                 tensor: int = 0, tensor_axis: str = "model"):
         self.model = model
         self._spatial = int(spatial) if spatial and spatial > 1 else 0
+        self._tensor = int(tensor) if tensor and tensor > 1 else 0
+        total = num_devices or len(jax.devices())
+        per_data = max(self._spatial, 1) * max(self._tensor, 1)
+        assert total % per_data == 0, \
+            "devices (%d) not divisible by spatial*tensor (%d)" % (total,
+                                                                   per_data)
+        sizes = [(axis, total // per_data)]
         if self._spatial:
-            total = num_devices or len(jax.devices())
-            assert total % self._spatial == 0, \
-                "devices (%d) not divisible by spatial (%d)" % (total,
-                                                                self._spatial)
-            self.mesh = make_mesh_2d(total // self._spatial, self._spatial,
-                                     axes=(axis, space_axis))
-        else:
-            self.mesh = make_mesh(num_devices, axis)
+            sizes.append((space_axis, self._spatial))
+        if self._tensor:
+            sizes.append((tensor_axis, self._tensor))
+        self.mesh = make_mesh_axes(sizes)
         self.axis = axis
         self.space_axis = space_axis if self._spatial else None
-        model.state = replicate_state(self.mesh, model.state)
+        self.tensor_axis = tensor_axis if self._tensor else None
+        if self._tensor:
+            st = model.state
+            model.state = type(st)(
+                params=shard_params(self.mesh, st.params, tensor_axis),
+                batch_stats=replicate_state(self.mesh, st.batch_stats),
+                opt_state=shard_params(self.mesh, st.opt_state, tensor_axis),
+                step=jax.device_put(st.step, replicated_sharding(self.mesh)),
+                pools=replicate_state(self.mesh, st.pools))
+        else:
+            model.state = replicate_state(self.mesh, model.state)
 
     @property
     def n_devices(self) -> int:
@@ -182,7 +242,8 @@ class DataParallel:
         return self.model.generate_multi(self._maybe_shard(real_A),
                                          jnp.asarray(multi_prior_z_B))
 
-    _own_attrs = frozenset({"model", "mesh", "axis"})
+    _own_attrs = frozenset({"model", "mesh", "axis", "space_axis",
+                            "tensor_axis"})
 
     def __getattr__(self, name):
         return getattr(self.model, name)
