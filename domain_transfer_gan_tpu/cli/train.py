@@ -82,6 +82,21 @@ def visualize_inference(opt, real_A, real_B, model, eidx, uidx):
     copyfile(save_path, os.path.join(opt.vis_latest, "inf.png"))
 
 
+def check_losses_finite(losses, epoch, step) -> None:
+    """Debug sanitizer (--check_numerics): host-checks every scalar loss and
+    raises naming the non-finite terms.  The reference's only guard was
+    data-side nan_to_num (dataloader.py:18,25); this covers the training
+    dynamics too (GAN collapses surface as inf/nan in D/G losses first).
+    Forces a device sync per step — debug mode only."""
+    bad = [k for k, v in losses.items()
+           if not np.isfinite(float(np.asarray(v)))]
+    if bad:
+        raise FloatingPointError(
+            "non-finite losses at epoch %d step %d: %s (values: %s)"
+            % (epoch, step, bad,
+               {k: float(np.asarray(losses[k])) for k in bad}))
+
+
 def _force_host_devices(n: int) -> None:
     """Force an n-virtual-device CPU platform (for driving the SPMD paths
     without n real chips).  Env vars are unreliable here — this
@@ -100,6 +115,8 @@ def train_model(opt: TrainConfig = None, argv=None):
                       "train_vis_cycle"], args=argv)
     if getattr(opt, "host_devices", 0):
         _force_host_devices(opt.host_devices)
+    if getattr(opt, "check_numerics", 0):
+        jax.config.update("jax_debug_nans", True)
     out_f = open(os.path.join(opt.expr_dir, "results.txt"), "w")
     copy_scripts_to_folder(opt.expr_dir)
 
@@ -264,6 +281,8 @@ def train_model(opt: TrainConfig = None, argv=None):
                 sup_data = next(sup_iter)
                 sup_losses = model.supervised_train_instance(sup_data["A"],
                                                              sup_data["B"])
+            if opt.check_numerics:
+                check_losses_finite(losses, epoch, i)
             timer.tick(opt.batchSize)
 
             if total_steps % opt.display_freq == 0:

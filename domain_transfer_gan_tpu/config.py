@@ -123,6 +123,10 @@ class TrainConfig:
     #                                0 = plain jax triangle-filter resize
     ckpt_backend: str = "flax"     # {flax, orbax}: single-file bytes vs
     #                                orbax checkpoint dirs (loads auto-detect)
+    check_numerics: int = 0        # 1: debug sanitizer — per-step host check
+    #                                that every loss is finite (raises with
+    #                                the offending keys) + jax_debug_nans
+    #                                for an op-level NaN traceback
 
     # derived (filled by parse/finalize)
     expr_dir: str = ""
@@ -242,6 +246,8 @@ class TrainOptions:
         p.add_argument("--spatial", type=int, default=d.spatial)
         p.add_argument("--tensor", type=int, default=d.tensor)
         p.add_argument("--host_devices", type=int, default=d.host_devices)
+        p.add_argument("--check_numerics", type=int, choices=[0, 1],
+                       default=d.check_numerics)
         p.add_argument("--ckpt_backend", type=str, default=d.ckpt_backend,
                        choices=["flax", "orbax"])
         p.add_argument("--profile_dir", type=str, default=d.profile_dir)

@@ -86,3 +86,30 @@ def test_test_cli_perfile_dataset(tmp_path, capsys):
                        "--dataroot", str(root), "--metric", "mse"])
     out = capsys.readouterr().out
     assert "TEST_MSE_A" in out
+
+
+def test_check_numerics_sanitizer():
+    """--check_numerics raises a FloatingPointError naming the non-finite
+    loss terms (SURVEY.md §5 sanitizer subsystem)."""
+    import numpy as np
+    import pytest
+    from domain_transfer_gan_tpu.cli.train import check_losses_finite
+
+    ok = {"D_A": np.float32(0.5), "G_A": np.float32(1.0)}
+    check_losses_finite(ok, epoch=1, step=0)  # no raise
+
+    bad = {"D_A": np.float32("nan"), "G_A": np.float32(1.0),
+           "Cyc_B": np.float32("inf")}
+    with pytest.raises(FloatingPointError) as ei:
+        check_losses_finite(bad, epoch=2, step=7)
+    msg = str(ei.value)
+    assert "D_A" in msg and "Cyc_B" in msg and "G_A" not in msg.split(":")[1]
+    assert "epoch 2 step 7" in msg
+
+
+def test_check_numerics_flag_parses():
+    from domain_transfer_gan_tpu.config import TrainOptions
+    opt = TrainOptions().parse(args=["--dataroot", "/tmp/x", "--name", "n",
+                                     "--checkpoints_dir", "/tmp/cn_flag",
+                                     "--check_numerics", "1"])
+    assert opt.check_numerics == 1
