@@ -28,14 +28,14 @@ from ..data import (
 from ..eval import eval_mse_A, eval_ubo_B, one_to_three_channels
 from ..eval.visualize import interleave_columns, save_image_grid
 from ..models import create_model
-from ..parallel import DataParallel, prefetch_to_device
+from ..parallel import DataParallel, multihost, prefetch_to_device
 from ..utils import StepTimer, copy_scripts_to_folder, format_log, print_log, \
     save_results
 
 
 def visualize_cycle(opt, real_A, visuals, eidx, uidx, train):
     """6-column cycle grid (reference train.py:47-59)."""
-    imgs = [one_to_three_channels(np.asarray(v)[..., :3])
+    imgs = [one_to_three_channels(multihost.to_host(v)[..., :3])
             for v in visuals.values()]
     grid = interleave_columns(imgs)
     save_dir = opt.train_vis_cycle if train else opt.vis_cycle
@@ -50,10 +50,10 @@ def visualize_multi(opt, real_A, model, eidx, uidx):
     n = real_A.shape[0]
     z_set = jax.random.normal(model.next_key(), (opt.num_multi, opt.nlatent))
     multi_z = jnp.tile(z_set, (n, 1))
-    multi_fake_B = np.asarray(model.generate_multi(real_A, multi_z))
+    multi_fake_B = multihost.to_host(model.generate_multi(real_A, multi_z))
     multi_fake_B = multi_fake_B.reshape((n, opt.num_multi) +
                                         multi_fake_B.shape[1:])
-    cols = [np.asarray(real_A)] + [multi_fake_B[:, i]
+    cols = [multihost.to_host(real_A)] + [multi_fake_B[:, i]
                                    for i in range(opt.num_multi)]
     grid = interleave_columns([one_to_three_channels(c[..., :3])
                                for c in cols])
@@ -68,13 +68,13 @@ def visualize_inference(opt, real_A, real_B, model, eidx, uidx):
     real_B = jnp.asarray(real_B)[:opt.num_multi]
     n = real_A.shape[0]
     num = real_B.shape[0]  # may be < num_multi on small dev sets
-    multi_fake_B = np.asarray(model.inference_multi(real_A, real_B))
+    multi_fake_B = multihost.to_host(model.inference_multi(real_A, real_B))
     multi_fake_B = multi_fake_B.reshape((n, num) + multi_fake_B.shape[1:])
-    cols = [np.asarray(real_A)] + [multi_fake_B[:, i] for i in range(num)]
+    cols = [multihost.to_host(real_A)] + [multi_fake_B[:, i] for i in range(num)]
     body = interleave_columns([one_to_three_channels(c[..., :3])
                                for c in cols])
     header = np.concatenate([np.ones((1,) + body.shape[1:], body.dtype),
-                             one_to_three_channels(np.asarray(real_B)[..., :3])],
+                             one_to_three_channels(multihost.to_host(real_B)[..., :3])],
                             axis=0)
     grid = np.concatenate([header, body], axis=0)
     save_path = os.path.join(opt.vis_inf, "inf_%02d_%04d.png" % (eidx, uidx))
@@ -101,11 +101,13 @@ def _force_host_devices(n: int) -> None:
     """Force an n-virtual-device CPU platform (for driving the SPMD paths
     without n real chips).  Env vars are unreliable here — this
     environment's interpreter startup rewrites JAX_PLATFORMS — but the
-    programmatic config route wins as long as the backend is untouched."""
+    programmatic config route wins as long as the backend is untouched.
+
+    Only sets config; the post-init assert lives in train_model AFTER the
+    (optional) jax.distributed.initialize, which itself must run before
+    anything touches the backend."""
     jax.config.update("jax_num_cpu_devices", n)
     jax.config.update("jax_platforms", "cpu")
-    assert jax.local_device_count() >= n, (
-        "backend already initialized before --host_devices could apply")
 
 
 def train_model(opt: TrainConfig = None, argv=None):
@@ -117,6 +119,25 @@ def train_model(opt: TrainConfig = None, argv=None):
         _force_host_devices(opt.host_devices)
     if getattr(opt, "check_numerics", 0):
         jax.config.update("jax_debug_nans", True)
+    if getattr(opt, "coordinator", "") or getattr(opt, "num_processes", 0) > 1:
+        # Multi-host SPMD: join the cluster (parallel/multihost.py), then
+        # keep the single-writer artifact contract — non-primary hosts
+        # write their artifact copies into a per-rank scratch subdir (safe
+        # on a shared filesystem; every host still runs the same program).
+        multihost.initialize(opt.coordinator, opt.num_processes,
+                             opt.process_id)
+        if getattr(opt, "host_devices", 0):
+            assert jax.local_device_count() >= opt.host_devices, (
+                "backend initialized before --host_devices could apply")
+        if not multihost.is_primary():
+            opt.expr_dir = os.path.join(
+                opt.expr_dir, ".worker%d" % jax.process_index())
+            os.makedirs(opt.expr_dir, exist_ok=True)
+            create_sub_dirs(opt, ["vis_multi", "vis_cycle", "vis_latest",
+                                  "train_vis_cycle"])
+    elif getattr(opt, "host_devices", 0):
+        assert jax.local_device_count() >= opt.host_devices, (
+            "backend initialized before --host_devices could apply")
     out_f = open(os.path.join(opt.expr_dir, "results.txt"), "w")
     copy_scripts_to_folder(opt.expr_dir)
 
@@ -286,7 +307,8 @@ def train_model(opt: TrainConfig = None, argv=None):
             timer.tick(opt.batchSize)
 
             if total_steps % opt.display_freq == 0:
-                visualize_cycle(opt, real_A, visuals, epoch,
+                visualize_cycle(opt, multihost.to_host(real_A), visuals,
+                                epoch,
                                 epoch_iter // opt.batchSize, train=True)
                 dev_data = next(dev_cycle)
                 dev_A, dev_B = dev_data["A"], dev_data["B"]

@@ -127,6 +127,10 @@ class TrainConfig:
     #                                that every loss is finite (raises with
     #                                the offending keys) + jax_debug_nans
     #                                for an op-level NaN traceback
+    coordinator: str = ""          # multi-host: "host:port" of process 0,
+    #                                or "auto" (TPU-pod auto-detection)
+    num_processes: int = 0         # multi-host: total process count
+    process_id: int = -1           # multi-host: this process's rank
 
     # derived (filled by parse/finalize)
     expr_dir: str = ""
@@ -248,6 +252,9 @@ class TrainOptions:
         p.add_argument("--host_devices", type=int, default=d.host_devices)
         p.add_argument("--check_numerics", type=int, choices=[0, 1],
                        default=d.check_numerics)
+        p.add_argument("--coordinator", type=str, default=d.coordinator)
+        p.add_argument("--num_processes", type=int, default=d.num_processes)
+        p.add_argument("--process_id", type=int, default=d.process_id)
         p.add_argument("--ckpt_backend", type=str, default=d.ckpt_backend,
                        choices=["flax", "orbax"])
         p.add_argument("--profile_dir", type=str, default=d.profile_dir)

@@ -10,3 +10,4 @@ from .mesh import (
     prefetch_to_device,
     DataParallel,
 )
+from . import multihost

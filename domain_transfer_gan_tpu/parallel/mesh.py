@@ -25,6 +25,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _put(x, sh: NamedSharding):
+    """device_put that also works on a multi-process (multi-host) mesh.
+
+    Single-process: plain ``jax.device_put``.  Multi-process: every host
+    holds the same global value (see parallel.multihost), and
+    ``make_array_from_callback`` materializes only this process's
+    addressable shards — each host transfers exactly its slice.
+    """
+    if jax.process_count() > 1 and not sh.is_fully_addressable:
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, sh,
+                                            lambda idx: arr[idx])
+    return jax.device_put(jnp.asarray(x), sh)
+
+
 def make_mesh(num_devices: int = 0, axis: str = "data",
               devices=None) -> Mesh:
     devs = list(devices if devices is not None else jax.devices())
@@ -86,7 +101,7 @@ def param_shardings(mesh: Mesh, tree, axis: str = "model",
 def shard_params(mesh: Mesh, tree, axis: str = "model",
                  min_size: int = 1024):
     shardings = param_shardings(mesh, tree, axis, min_size)
-    return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+    return jax.tree_util.tree_map(_put, tree, shardings)
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 4, axis: str = "data",
@@ -108,15 +123,16 @@ def shard_batch(mesh: Mesh, tree, axis: str = "data",
     """device_put every leaf with its batch axis (and, on a 2-D mesh, its
     image H axis) sharded over the mesh."""
     def put(x):
-        x = jnp.asarray(x)
-        return jax.device_put(x, batch_sharding(mesh, x.ndim, axis,
-                                                space_axis))
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x  # already a global (multi-host) array — fed upstream
+        x = np.asarray(x) if not hasattr(x, "ndim") else x
+        return _put(x, batch_sharding(mesh, x.ndim, axis, space_axis))
     return jax.tree_util.tree_map(put, tree)
 
 
 def replicate_state(mesh: Mesh, tree):
     sh = replicated_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(lambda x: _put(x, sh), tree)
 
 
 def prefetch_to_device(iterator: Iterable, mesh: Optional[Mesh] = None,
@@ -189,7 +205,7 @@ class DataParallel:
                 params=shard_params(self.mesh, st.params, tensor_axis),
                 batch_stats=replicate_state(self.mesh, st.batch_stats),
                 opt_state=shard_params(self.mesh, st.opt_state, tensor_axis),
-                step=jax.device_put(st.step, replicated_sharding(self.mesh)),
+                step=_put(st.step, replicated_sharding(self.mesh)),
                 pools=replicate_state(self.mesh, st.pools))
         else:
             model.state = replicate_state(self.mesh, model.state)
@@ -204,17 +220,15 @@ class DataParallel:
         return out if len(out) > 1 else out[0]
 
     def train_instance(self, real_A, real_B, prior_z_B=None):
-        real_A, real_B = self.shard(jnp.asarray(real_A)), \
-            self.shard(jnp.asarray(real_B))
+        real_A, real_B = self.shard(real_A), self.shard(real_B)
         if prior_z_B is not None:
-            prior_z_B = self.shard(jnp.asarray(prior_z_B))
+            prior_z_B = self.shard(prior_z_B)
         return self.model.train_instance(real_A, real_B, prior_z_B)
 
     def supervised_train_instance(self, real_A, real_B, prior_z_B=None):
-        real_A, real_B = self.shard(jnp.asarray(real_A)), \
-            self.shard(jnp.asarray(real_B))
+        real_A, real_B = self.shard(real_A), self.shard(real_B)
         if prior_z_B is not None:
-            prior_z_B = self.shard(jnp.asarray(prior_z_B))
+            prior_z_B = self.shard(prior_z_B)
         return self.model.supervised_train_instance(real_A, real_B, prior_z_B)
 
     # -- sharded inference: generation helpers fan the batch over the mesh
@@ -222,6 +236,8 @@ class DataParallel:
     # every device).  Falls back to replicated compute when the batch does
     # not divide the mesh.
     def _maybe_shard(self, x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x  # already a global (multi-host) array
         x = jnp.asarray(x)
         n_data = self.mesh.shape[self.axis]
         ok = x.shape[0] % n_data == 0

@@ -1,0 +1,82 @@
+"""Multi-host (multi-process) SPMD support.
+
+The reference has no multi-node capability at all — its only parallelism is
+single-process ``nn.parallel.data_parallel`` scatter/gather
+(reference networks.py:194-197; SURVEY.md §5: ``torch.distributed`` never
+imported).  This module is the TPU-native extension beyond that: one JAX
+process per host, a single global mesh over every host's devices (ICI
+within a slice, DCN across slices), XLA collectives placed by GSPMD.
+
+Model
+-----
+Every process runs the same program (multi-controller SPMD):
+
+- all hosts load the same dataset and draw identical batches (the
+  iterators are seeded identically — the reference's own global-seed
+  discipline, train.py:102-108, extended across hosts);
+- global device arrays are built with ``jax.make_array_from_callback``,
+  which materializes only this process's addressable shards, so each host
+  transfers exactly its slice of the batch to its local devices;
+- train-step outputs (losses) are fully replicated scalars — any host can
+  fetch them without communication;
+- sharded eval/visual outputs are fetched with :func:`to_host`
+  (``process_allgather``) and written by the primary process only.
+
+Usage
+-----
+TPU pods: ``initialize()`` with no arguments auto-detects the coordinator
+from the TPU metadata.  Manual clusters (or the CPU gloo backend used by
+tests): pass ``coordinator`` ("host:port"), ``num_processes`` and
+``process_id``.  CLI: ``--coordinator/--num_processes/--process_id``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+__all__ = ["initialize", "is_primary", "process_count", "to_host"]
+
+
+def initialize(coordinator: str = "", num_processes: int = 0,
+               process_id: int = -1) -> None:
+    """Join (or create) a multi-process JAX cluster.
+
+    No-op when called with no arguments outside a pod environment; with
+    ``coordinator == "auto"`` forces the no-arg auto-detecting form.
+    Must run before any other JAX call touches the backend.
+    """
+    if coordinator == "auto":
+        jax.distributed.initialize()
+    elif coordinator and num_processes > 1:
+        assert 0 <= process_id < num_processes, \
+            "--process_id must be in [0, num_processes)"
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_primary() -> bool:
+    """True on the process that owns artifact/checkpoint writes."""
+    return jax.process_index() == 0
+
+
+def to_host(x) -> np.ndarray:
+    """Fetch a (possibly cross-host-sharded) global array to every host.
+
+    Single-process (or fully-addressable / replicated input): a plain
+    device fetch.  A cross-host-sharded global array is first re-laid-out
+    to a replicated sharding (an XLA all-gather over DCN/ICI), after which
+    every host can fetch the full value locally.
+    """
+    if (not isinstance(x, jax.Array) or x.is_fully_addressable
+            or x.sharding.is_fully_replicated):
+        return np.asarray(x)
+    from jax.sharding import NamedSharding, PartitionSpec
+    rep = NamedSharding(x.sharding.mesh, PartitionSpec())
+    return np.asarray(jax.jit(lambda a: a, out_shardings=rep)(x))

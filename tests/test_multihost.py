@@ -1,0 +1,113 @@
+"""Multi-host (multi-process) SPMD tests.
+
+Two real OS processes, 4 virtual CPU devices each, joined into one global
+8-device mesh via jax.distributed + the gloo CPU collectives backend.  The
+reference has no multi-node capability (SURVEY.md §5); these tests prove
+the framework's multihost tier (parallel/multihost.py) produces the same
+losses as a single-process 8-device run on identical data.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from domain_transfer_gan_tpu.config import TrainConfig
+from domain_transfer_gan_tpu.models import create_model
+from domain_transfer_gan_tpu.parallel import DataParallel
+
+from test_parallel import tiny_cfg
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent("""
+    import json, sys
+    rank, nprocs, port, outfile = (int(sys.argv[1]), int(sys.argv[2]),
+                                   int(sys.argv[3]), sys.argv[4])
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    from domain_transfer_gan_tpu.parallel import DataParallel, multihost
+    multihost.initialize("127.0.0.1:%d" % port, nprocs, rank)
+    assert jax.process_count() == nprocs
+    assert jax.device_count() == 4 * nprocs
+
+    import numpy as np
+    from domain_transfer_gan_tpu.config import TrainConfig
+    from domain_transfer_gan_tpu.models import create_model
+
+    cfg = TrainConfig(model="aug_cycle_gan", grid_size=64, ngf=4, nef=4,
+                      ndf=4, nlatent=8, batchSize=8, use_pallas=False,
+                      monitor_gnorm=True, seed=1)
+    cfg.expr_dir = ""
+    model = create_model(cfg, testing=True, image_size=64)
+    dp = DataParallel(model, num_devices=4 * nprocs)
+
+    rng = np.random.RandomState(7)
+    A = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    B = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    z = rng.randn(8, 8).astype(np.float32)
+
+    l1, _, _ = dp.train_instance(A, B, z)
+    l2, visuals, _ = dp.train_instance(A, B, z)
+
+    # cross-host-sharded image output -> full global value on every host
+    fake_B = multihost.to_host(visuals["fake_B"])
+    assert fake_B.shape == (8, 64, 64, 3), fake_B.shape
+
+    if multihost.is_primary():
+        out = {k: float(v) for k, v in l2.items()}
+        out["fake_B_mean"] = float(np.mean(fake_B))
+        with open(outfile, "w") as f:
+            json.dump(out, f)
+""")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_matches_single(tmp_path):
+    # reference: the same two steps on the in-process 8-device mesh
+    model = create_model(tiny_cfg(), testing=True)
+    dp = DataParallel(model, num_devices=8)
+    rng = np.random.RandomState(7)
+    A = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    B = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    z = rng.randn(8, 8).astype(np.float32)
+    dp.train_instance(A, B, z)
+    ref, ref_visuals, _ = dp.train_instance(A, B, z)
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER)
+    outfile = tmp_path / "rank0.json"
+    port = _free_port()
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own 4-device platform
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(r), "2", str(port), str(outfile)],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for r in (0, 1)]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, "rank failed:\n" + o
+
+    got = json.loads(outfile.read_text())
+    for k, v in ref.items():
+        assert np.isclose(float(v), got[k], rtol=2e-3, atol=2e-4), \
+            f"{k}: single={float(v)} multihost={got[k]}"
+    assert np.isclose(got["fake_B_mean"],
+                      float(np.mean(np.asarray(ref_visuals["fake_B"]))),
+                      rtol=2e-3, atol=2e-4)
