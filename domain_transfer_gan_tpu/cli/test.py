@@ -128,6 +128,9 @@ def test_model(argv=None):
 
     model = create_model(opt, testing=True, image_size=opt.grid_size)
     model.load(topt.chk_path)
+    if getattr(topt, "use_ema", 0):
+        assert model.state.ema, "--use_ema needs a checkpoint trained with --ema"
+        model.swap_ema()
     vis_inf = opt.model == "aug_cycle_gan"
 
     if topt.metric == "bpp":

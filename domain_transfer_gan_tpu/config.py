@@ -127,6 +127,10 @@ class TrainConfig:
     #                                that every loss is finite (raises with
     #                                the offending keys) + jax_debug_nans
     #                                for an op-level NaN traceback
+    ema: float = 0.0               # >0: keep an exponential moving average
+    #                                of the generator/encoder weights at this
+    #                                decay (e.g. 0.999); eval/export can swap
+    #                                them in (model.swap_ema)
     coordinator: str = ""          # multi-host: "host:port" of process 0,
     #                                or "auto" (TPU-pod auto-detection)
     num_processes: int = 0         # multi-host: total process count
@@ -252,6 +256,7 @@ class TrainOptions:
         p.add_argument("--host_devices", type=int, default=d.host_devices)
         p.add_argument("--check_numerics", type=int, choices=[0, 1],
                        default=d.check_numerics)
+        p.add_argument("--ema", type=float, default=d.ema)
         p.add_argument("--coordinator", type=str, default=d.coordinator)
         p.add_argument("--num_processes", type=int, default=d.num_processes)
         p.add_argument("--process_id", type=int, default=d.process_id)
@@ -282,6 +287,7 @@ class TestConfig:
     train_logvar: int = 1
     dataroot: str = ""
     metric: str = "mse"  # {bpp, mse, visual, noise_sens}
+    use_ema: int = 0     # 1: score the EMA generator weights (--ema runs)
 
 
 class TestOptions:
@@ -295,6 +301,8 @@ class TestOptions:
         self.parser.add_argument("--metric", required=True, type=str,
                                  choices=["bpp", "mse", "visual", "noise_sens",
                                           "mvgauss", "fid"])
+        self.parser.add_argument("--use_ema", type=int, choices=[0, 1],
+                                 default=0)
 
     def parse(self, args=None) -> TestConfig:
         ns = self.parser.parse_args(args)

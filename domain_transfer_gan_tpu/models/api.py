@@ -113,9 +113,23 @@ class _CycleGANBase:
     def train(self):
         self.training = True
 
+    def swap_ema(self):
+        """Swap the live generator/encoder params with their EMA shadow
+        (--ema).  Call once before eval/export to score the averaged
+        weights, and once after to resume training on the live ones.
+        No-op when EMA tracking is off."""
+        if not self.state.ema:
+            return
+        params = dict(self.state.params)
+        ema = {}
+        for name, shadow in self.state.ema.items():
+            ema[name] = params[name]
+            params[name] = shadow
+        self.state = self.state.replace(params=params, ema=ema)
+
     # -- checkpoint IO (same latest/best_A/best_B contract, §5) ---------
     def _ckpt_payload(self) -> dict:
-        return {
+        payload = {
             "params": self.state.params,
             "batch_stats": self.state.batch_stats,
             "opt_state": self.state.opt_state,
@@ -124,6 +138,9 @@ class _CycleGANBase:
             "old_lr": np.float64(self.old_lr),
             "epoch": np.int64(self.epoch),
         }
+        if self.state.ema:
+            payload["ema"] = self.state.ema
+        return payload
 
     def _orbax(self):
         if not hasattr(self, "_orbax_ckpt"):
@@ -167,11 +184,26 @@ class _CycleGANBase:
         else:
             with open(chk_path, "rb") as f:
                 data = f.read()
-            payload = serialization.from_bytes(self._ckpt_payload(), data)
+            target = self._ckpt_payload()
+            try:
+                payload = serialization.from_bytes(target, data)
+            except ValueError:
+                # EMA-tracking mismatch between the checkpoint and this
+                # config (--ema on/off changed): retry with the other
+                # payload structure; current EMA (if any) is kept/reset.
+                if "ema" in target:
+                    target.pop("ema")
+                else:
+                    target["ema"] = {n: target["params"][n]
+                                     for n in ("netG_A_B", "netG_B_A",
+                                               "netE_B")
+                                     if n in target["params"]}
+                payload = serialization.from_bytes(target, data)
         self.state = TrainState(
             params=payload["params"], batch_stats=payload["batch_stats"],
             opt_state=payload["opt_state"],
             pools=payload.get("pools", self.state.pools),
+            ema=payload.get("ema", self.state.ema),
             step=jnp.asarray(payload["step"], jnp.int32))
         self.old_lr = float(payload["old_lr"])
         self.epoch = int(payload["epoch"])

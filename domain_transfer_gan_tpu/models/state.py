@@ -49,6 +49,22 @@ class TrainState:
     opt_state: Dict[str, Any]
     step: jnp.ndarray  # int32 scalar
     pools: Dict[str, Any] = struct.field(default_factory=dict)  # fake-image pools (opt-in)
+    ema: Dict[str, Any] = struct.field(default_factory=dict)  # EMA of generator/encoder params (opt-in, --ema)
+
+
+def ema_update(ema: Dict[str, Any], new_params: Dict[str, Any],
+               decay: float) -> Dict[str, Any]:
+    """One EMA step over the tracked networks (keys of ``ema``); a no-op
+    when EMA is off (empty dict).  Runs inside the jitted train step —
+    a pure pytree lerp, negligible next to the conv work."""
+    if not ema or decay <= 0.0:
+        return ema
+    return {
+        k: jax.tree_util.tree_map(
+            lambda e, p: (decay * e + (1.0 - decay) * p).astype(e.dtype),
+            ema[k], new_params[k])
+        for k in ema
+    }
 
 
 def adam_tx(beta1: float) -> optax.GradientTransformation:
@@ -155,7 +171,13 @@ def init_state(cfg: TrainConfig, rng: jax.Array,
             "fake_A": init_pool(cfg.pool_size, (hw, hw, cfg.input_nc)),
             "fake_B": init_pool(cfg.pool_size, (hw, hw, cfg.output_nc)),
         }
+    ema = {}
+    if getattr(cfg, "ema", 0.0) > 0.0:
+        gen_names = [n for n in ("netG_A_B", "netG_B_A", "netE_B")
+                     if n in params]
+        ema = {n: jax.tree_util.tree_map(jnp.array, params[n])
+               for n in gen_names}
     state = TrainState(params=params, batch_stats=batch_stats,
                        opt_state=opt_state, step=jnp.zeros((), jnp.int32),
-                       pools=pools)
+                       pools=pools, ema=ema)
     return nets, state

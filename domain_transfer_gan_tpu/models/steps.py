@@ -41,7 +41,7 @@ from ..ops.numerics import (
     log_prob_gaussian,
 )
 from .pool import pool_query
-from .state import TrainState, adam_tx, apply_net_update
+from .state import TrainState, adam_tx, apply_net_update, ema_update
 
 sg = jax.lax.stop_gradient
 
@@ -205,7 +205,9 @@ def make_stoch_train_step(nets, cfg: TrainConfig, ignore_noise: bool):
                    "fake_A": fake_A, "rec_B": g_aux["rec_B"]}
         new_state = TrainState(params=new_p, batch_stats=new_stats,
                                opt_state=new_opt, step=state.step + 1,
-                               pools=pools)
+                               pools=pools,
+                               ema=ema_update(state.ema, new_p,
+                                              getattr(cfg, "ema", 0.0)))
         return new_state, losses, visuals, gnorms
 
     return step
@@ -416,7 +418,9 @@ def make_aug_train_step(nets, cfg: TrainConfig):
                    "fake_A": fake_A, "rec_B": g_aux["rec_B"]}
         new_state = TrainState(params=new_p, batch_stats=new_stats,
                                opt_state=new_opt, step=state.step + 1,
-                               pools=pools)
+                               pools=pools,
+                               ema=ema_update(state.ema, new_p,
+                                              getattr(cfg, "ema", 0.0)))
         return new_state, losses, visuals, gnorms
 
     return step
@@ -523,7 +527,9 @@ def make_aug_supervised_step(nets, cfg: TrainConfig):
         }
         new_state = TrainState(params=new_p, batch_stats=new_stats,
                                opt_state=new_opt, step=state.step,
-                               pools=state.pools)
+                               pools=state.pools,
+                               ema=ema_update(state.ema, new_p,
+                                              getattr(cfg, "ema", 0.0)))
         return new_state, losses
 
     return step

@@ -332,3 +332,57 @@ def test_batch_norm_variant_step():
     m.eval()
     out = m.predict_A(B)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ema_tracking_and_swap(tmp_path):
+    """--ema keeps an EMA shadow of the generator/encoder params inside the
+    jitted step: after one step ema = d*p0 + (1-d)*p1; swap_ema exchanges
+    live and shadow weights (and back); checkpoints round-trip the shadow."""
+    cfg = tiny_cfg(ema=0.5, seed=3)
+    cfg.expr_dir = str(tmp_path)
+    m = create_model(cfg, testing=True)
+    p0 = jax.tree_util.tree_map(np.asarray, m.state.params["netG_A_B"])
+    assert set(m.state.ema) == {"netG_A_B", "netG_B_A", "netE_B"}
+    assert _leaf_diff(m.state.ema["netG_A_B"], p0) == 0.0
+
+    A, B = batch()
+    m.train_instance(A, B)
+    p1 = m.state.params["netG_A_B"]
+    want = jax.tree_util.tree_map(lambda a, b: 0.5 * a + 0.5 * b, p0, p1)
+    assert _leaf_diff(m.state.ema["netG_A_B"], want) < 1e-6
+    # discriminators are not EMA-tracked
+    assert "netD_A" not in m.state.ema
+
+    # swap: predictions change, swap again restores exactly
+    z = m.sample_prior_z(2)
+    out_live = np.asarray(m.predict_B(A, z))
+    m.swap_ema()
+    out_ema = np.asarray(m.predict_B(A, z))
+    assert not np.allclose(out_live, out_ema)
+    m.swap_ema()
+    assert np.allclose(np.asarray(m.predict_B(A, z)), out_live)
+
+    # checkpoint round-trips the shadow
+    m.save("latest")
+    m2 = create_model(tiny_cfg(ema=0.5, seed=99), testing=True)
+    m2.opt.expr_dir = str(tmp_path)
+    m2.load(str(tmp_path / "latest"))
+    assert _leaf_diff(m.state.ema, m2.state.ema) == 0.0
+
+
+def test_ema_off_checkpoint_loads_into_ema_model(tmp_path):
+    """A pre-EMA checkpoint (no 'ema' entry) still loads when the current
+    config enables --ema (fallback reseeds the shadow from the params)."""
+    cfg = tiny_cfg(seed=3)
+    cfg.expr_dir = str(tmp_path)
+    m = create_model(cfg, testing=True)
+    A, B = batch()
+    m.train_instance(A, B)
+    m.save("latest")
+    assert not m.state.ema
+
+    m2 = create_model(tiny_cfg(ema=0.9, seed=4), testing=True)
+    m2.opt.expr_dir = str(tmp_path)
+    m2.load(str(tmp_path / "latest"))
+    assert _leaf_diff(m.state.params, m2.state.params) == 0.0
+    assert m2.state.ema  # shadow kept (from this model's init)
