@@ -206,7 +206,8 @@ class DataParallel:
                 batch_stats=replicate_state(self.mesh, st.batch_stats),
                 opt_state=shard_params(self.mesh, st.opt_state, tensor_axis),
                 step=_put(st.step, replicated_sharding(self.mesh)),
-                pools=replicate_state(self.mesh, st.pools))
+                pools=replicate_state(self.mesh, st.pools),
+                ema=shard_params(self.mesh, st.ema, tensor_axis))
         else:
             model.state = replicate_state(self.mesh, model.state)
 

@@ -212,3 +212,19 @@ def test_graft_entry_dryrun():
     y = jax.jit(fn)(*args)
     assert y.shape == (8, 64, 64, 3)
     g.dryrun_multichip(8)
+
+
+def test_tensor_parallel_keeps_ema():
+    """Regression: the tensor-parallel state rebuild must carry the EMA
+    shadow tree (sharded like the params it mirrors)."""
+    from jax.sharding import PartitionSpec as P
+    dp = DataParallel(create_model(tiny_cfg(ema=0.9), testing=True),
+                      num_devices=8, tensor=2)
+    assert dp.state.ema, "EMA tree dropped by the tensor-parallel rebuild"
+    k = dp.state.ema["netG_A_B"]["block0"]["conv1"]["kernel"]
+    assert k.sharding.spec == P(None, None, None, "model")
+    rng = np.random.RandomState(9)
+    A = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    B = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    losses, _, _ = dp.train_instance(A, B)
+    assert np.isfinite(float(losses["D_A"]))
