@@ -153,7 +153,7 @@ def run_torch(dataroot, out, epochs, niter, batch, seed, eval_freq,
 # ---------------------------------------------------------------------------
 
 def run_jax(dataroot, out, epochs, niter, batch, seed, eval_freq, iter_seed,
-            dtype="float32"):
+            dtype="float32", ema=0.0):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -168,12 +168,13 @@ def run_jax(dataroot, out, epochs, niter, batch, seed, eval_freq, iter_seed,
                       ngf=32, nef=32, ndf=64, nlatent=ZDIM,
                       niter=niter, niter_decay=epochs - niter,
                       use_pallas=False, compute_dtype=dtype,
-                      monitor_gnorm=False, seed=seed)
+                      monitor_gnorm=False, seed=seed, ema=ema)
     cfg.expr_dir = ""
     model = create_model(cfg, testing=True, image_size=64)
     train_it, (devA, devB), _ = _load(dataroot, iter_seed, batch)
 
     def dev_metrics():
+        model.swap_ema()  # no-op unless --ema: score the averaged weights
         dev_ds = AlignedIterator(devA, devB, batch_size=EVAL_BATCH)
         mse = eval_mse_A(dev_ds, model)
         fakes = []
@@ -182,6 +183,7 @@ def run_jax(dataroot, out, epochs, niter, batch, seed, eval_freq, iter_seed,
             z = model.sample_prior_z(A.shape[0])
             fakes.append(np.asarray(model.predict_B(A, z)))
         fid = _fid(devB, np.concatenate(fakes))
+        model.swap_ema()
         return float(mse), fid
 
     history = []
@@ -203,7 +205,8 @@ def run_jax(dataroot, out, epochs, niter, batch, seed, eval_freq, iter_seed,
             print("[jax %d] MSE_A %.4f FID_B %.3f (%.0fs)"
                   % (epoch, mse, fid, rec["epoch_sec"]), flush=True)
         history.append(rec)
-        _dump(out, "jax-" + dtype, epochs, niter, batch, seed, history)
+        _dump(out, "jax-" + dtype + (("-ema%g" % ema) if ema else ""),
+              epochs, niter, batch, seed, history)
         if epoch > niter:
             model.update_learning_rate()
     return history
@@ -228,13 +231,15 @@ def main():
     ap.add_argument("--eval_freq", type=int, default=2)
     ap.add_argument("--iter_seed", type=int, default=99)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--ema", type=float, default=0.0)
     args = ap.parse_args()
     if args.arm == "torch":
         run_torch(args.dataroot, args.out, args.epochs, args.niter,
                   args.batch, args.seed, args.eval_freq, args.iter_seed)
     else:
         run_jax(args.dataroot, args.out, args.epochs, args.niter, args.batch,
-                args.seed, args.eval_freq, args.iter_seed, args.dtype)
+                args.seed, args.eval_freq, args.iter_seed, args.dtype,
+                args.ema)
 
 
 if __name__ == "__main__":
