@@ -215,3 +215,45 @@ def test_import_stoch_variant(tmp_path):
     # shared-group optimizer: netG_A_B and netG_B_A split optimizer_G
     assert int(np.asarray(model.state.opt_state["netG_A_B"].count)) == 2
     assert int(np.asarray(model.state.opt_state["netG_B_A"].count)) == 2
+
+
+def test_imported_checkpoint_resumes_training(imported, tmp_path):
+    """Full migration journey: a reference-format torch checkpoint becomes
+    a native checkpoint that the train CLI RESUMES from (--continue_train),
+    training onward from the imported weights."""
+    import dataclasses
+    import json
+    import os
+
+    from domain_transfer_gan_tpu.cli.import_torch import main as cli_main
+    from domain_transfer_gan_tpu.cli.train import train_model
+    from domain_transfer_gan_tpu.data.synthetic import write_synthetic_dataset
+
+    nets, ckpt, model = imported
+    root = tmp_path / "ds"
+    write_synthetic_dataset(str(root), 48)
+
+    expr = tmp_path / "ckpts" / "migrated"
+    expr.mkdir(parents=True)
+    torch.save(ckpt, str(tmp_path / "ref_latest"))
+    with open(tmp_path / "opt.json", "w") as f:
+        json.dump(dataclasses.asdict(_cfg()), f)
+    assert cli_main(["--torch_chk", str(tmp_path / "ref_latest"),
+                     "--out", str(expr / "latest")]) == 0
+
+    trained = train_model(argv=[
+        "--dataroot", str(root), "--name", "migrated",
+        "--checkpoints_dir", str(tmp_path / "ckpts"), "--grid_size", "64",
+        "--batchSize", "4", "--ngf", "8", "--nef", "8", "--ndf", "8",
+        "--nlatent", str(ZDIM), "--niter", "1", "--niter_decay", "0",
+        "--print_freq", "8", "--display_freq", "999999",
+        "--save_epoch_freq", "1", "--seed", "5", "--dev_size", "8",
+        "--num_devices", "1", "--eval_B_freq", "99", "--continue_train"])
+    # parameters moved on from the imported values (training happened)
+    import jax
+    moved = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                for a, b in zip(
+                    jax.tree_util.tree_leaves(model.state.params),
+                    jax.tree_util.tree_leaves(trained.state.params)))
+    assert moved > 0.0
+    assert os.path.exists(str(expr / "best_A"))
