@@ -231,6 +231,11 @@ def train_model(opt: TrainConfig = None, argv=None):
     spatial = getattr(opt, "spatial", 0)
     tensor = getattr(opt, "tensor", 0)
     per_data = max(spatial, 1) * max(tensor, 1)
+    if n_dev > 1 and opt.batchSize % max(n_dev // per_data, 1) != 0:
+        print_log(out_f, "WARNING: %d devices visible but batchSize %d does "
+                  "not divide the data axis (%d) — running UNSHARDED on one "
+                  "device; --spatial/--tensor are ignored"
+                  % (n_dev, opt.batchSize, max(n_dev // per_data, 1)))
     if n_dev > 1 and opt.batchSize % max(n_dev // per_data, 1) == 0:
         model = DataParallel(model, num_devices=n_dev, axis=opt.data_axis,
                              spatial=spatial, tensor=tensor)
@@ -304,11 +309,12 @@ def train_model(opt: TrainConfig = None, argv=None):
                                                              sup_data["B"])
             if opt.check_numerics:
                 check_losses_finite(losses, epoch, i)
+                if opt.supervised:
+                    check_losses_finite(sup_losses, epoch, i)
             timer.tick(opt.batchSize)
 
             if total_steps % opt.display_freq == 0:
-                visualize_cycle(opt, multihost.to_host(real_A), visuals,
-                                epoch,
+                visualize_cycle(opt, real_A, visuals, epoch,
                                 epoch_iter // opt.batchSize, train=True)
                 dev_data = next(dev_cycle)
                 dev_A, dev_B = dev_data["A"], dev_data["B"]

@@ -154,6 +154,16 @@ class _CycleGANBase:
         Backend per --ckpt_backend: 'flax' single-file bytes (default) or
         'orbax' checkpoint directories."""
         chk_path = os.path.join(self.opt.expr_dir, chk_name)
+        if jax.process_count() > 1:
+            # multi-host: tensor-sharded params/moments span non-addressable
+            # devices — gather every leaf to the host before serializing
+            # (parallel.multihost.to_host is a no-op for replicated leaves)
+            from ..parallel.multihost import to_host
+            save_payload = jax.tree_util.tree_map(to_host,
+                                                  self._ckpt_payload())
+            with open(chk_path, "wb") as f:
+                f.write(serialization.to_bytes(save_payload))
+            return
         if getattr(self.opt, "ckpt_backend", "flax") == "orbax":
             self._orbax().save(chk_path, self._ckpt_payload(),
                                async_save=async_save)
@@ -179,31 +189,45 @@ class _CycleGANBase:
         (directory -> orbax, file -> flax bytes) so either backend's
         checkpoints load regardless of the current --ckpt_backend."""
         self.wait_for_saves()
+
+        def alt_target(target):
+            # EMA-tracking mismatch between the checkpoint and this config
+            # (--ema on/off changed): build the other payload structure.
+            if "ema" in target:
+                target.pop("ema")
+            else:
+                target["ema"] = {n: target["params"][n]
+                                 for n in ("netG_A_B", "netG_B_A", "netE_B")
+                                 if n in target["params"]}
+            return target
+
         if os.path.isdir(chk_path):
-            payload = self._orbax().restore(chk_path, self._ckpt_payload())
+            try:
+                payload = self._orbax().restore(chk_path,
+                                                self._ckpt_payload())
+            except Exception:
+                payload = self._orbax().restore(
+                    chk_path, alt_target(self._ckpt_payload()))
         else:
             with open(chk_path, "rb") as f:
                 data = f.read()
-            target = self._ckpt_payload()
             try:
-                payload = serialization.from_bytes(target, data)
+                payload = serialization.from_bytes(self._ckpt_payload(), data)
             except ValueError:
-                # EMA-tracking mismatch between the checkpoint and this
-                # config (--ema on/off changed): retry with the other
-                # payload structure; current EMA (if any) is kept/reset.
-                if "ema" in target:
-                    target.pop("ema")
-                else:
-                    target["ema"] = {n: target["params"][n]
-                                     for n in ("netG_A_B", "netG_B_A",
-                                               "netE_B")
-                                     if n in target["params"]}
-                payload = serialization.from_bytes(target, data)
+                payload = serialization.from_bytes(
+                    alt_target(self._ckpt_payload()), data)
+        ema = payload.get("ema", {})
+        if self.state.ema and not ema:
+            # this config tracks EMA but the checkpoint predates it: seed
+            # the shadow from the LOADED params (not this model's random
+            # init) so --use_ema scores trained weights immediately
+            ema = {n: payload["params"][n] for n in self.state.ema
+                   if n in payload["params"]}
         self.state = TrainState(
             params=payload["params"], batch_stats=payload["batch_stats"],
             opt_state=payload["opt_state"],
             pools=payload.get("pools", self.state.pools),
-            ema=payload.get("ema", self.state.ema),
+            ema=ema,
             step=jnp.asarray(payload["step"], jnp.int32))
         self.old_lr = float(payload["old_lr"])
         self.epoch = int(payload["epoch"])

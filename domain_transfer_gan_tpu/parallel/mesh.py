@@ -200,14 +200,16 @@ class DataParallel:
         self.space_axis = space_axis if self._spatial else None
         self.tensor_axis = tensor_axis if self._tensor else None
         if self._tensor:
-            st = model.state
-            model.state = type(st)(
-                params=shard_params(self.mesh, st.params, tensor_axis),
-                batch_stats=replicate_state(self.mesh, st.batch_stats),
-                opt_state=shard_params(self.mesh, st.opt_state, tensor_axis),
-                step=_put(st.step, replicated_sharding(self.mesh)),
-                pools=replicate_state(self.mesh, st.pools),
-                ema=shard_params(self.mesh, st.ema, tensor_axis))
+            # .replace (not an explicit constructor) so any future
+            # TrainState field defaults to replicated instead of being
+            # silently dropped
+            st = replicate_state(self.mesh, model.state)
+            model.state = st.replace(
+                params=shard_params(self.mesh, model.state.params,
+                                    tensor_axis),
+                opt_state=shard_params(self.mesh, model.state.opt_state,
+                                       tensor_axis),
+                ema=shard_params(self.mesh, model.state.ema, tensor_axis))
         else:
             model.state = replicate_state(self.mesh, model.state)
 

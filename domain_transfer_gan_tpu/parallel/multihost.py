@@ -32,6 +32,8 @@ tests): pass ``coordinator`` ("host:port"), ``num_processes`` and
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -49,12 +51,22 @@ def initialize(coordinator: str = "", num_processes: int = 0,
     """
     if coordinator == "auto":
         jax.distributed.initialize()
-    elif coordinator and num_processes > 1:
-        assert 0 <= process_id < num_processes, \
-            "--process_id must be in [0, num_processes)"
-        jax.distributed.initialize(coordinator_address=coordinator,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
+        return
+    if not coordinator and num_processes <= 1:
+        return  # single-process
+    # Manual cluster: all three must be given — a partial spec silently
+    # running single-process would leave every host believing it is
+    # primary and clobbering the same artifact dir on a shared FS.
+    if not coordinator or num_processes <= 1 or \
+            not (0 <= process_id < num_processes):
+        raise ValueError(
+            "multi-host needs --coordinator host:port, --num_processes > 1 "
+            "AND --process_id in [0, num_processes); got coordinator=%r "
+            "num_processes=%r process_id=%r (or use --coordinator auto on "
+            "a TPU pod)" % (coordinator, num_processes, process_id))
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
 
 
 def process_count() -> int:
@@ -64,6 +76,13 @@ def process_count() -> int:
 def is_primary() -> bool:
     """True on the process that owns artifact/checkpoint writes."""
     return jax.process_index() == 0
+
+
+@functools.lru_cache(maxsize=32)
+def _gather_fn(rep_sharding):
+    """One compiled all-gather-to-replicated per target sharding (a fresh
+    jit per call would recompile the gather every fetch)."""
+    return jax.jit(lambda a: a, out_shardings=rep_sharding)
 
 
 def to_host(x) -> np.ndarray:
@@ -79,4 +98,4 @@ def to_host(x) -> np.ndarray:
         return np.asarray(x)
     from jax.sharding import NamedSharding, PartitionSpec
     rep = NamedSharding(x.sharding.mesh, PartitionSpec())
-    return np.asarray(jax.jit(lambda a: a, out_shardings=rep)(x))
+    return np.asarray(_gather_fn(rep)(x))

@@ -371,9 +371,14 @@ def import_torch_checkpoint(path: str, model,
             if ok:
                 report.append("imported %s -> %s" % (opt_key, "+".join(nets)))
 
-    model.state = TrainState(params=new_params, batch_stats=new_stats,
-                             opt_state=new_opt, step=model.state.step,
-                             pools=model.state.pools)
+    new_ema = model.state.ema
+    if new_ema:
+        # --ema configs: seed the shadow from the freshly-imported params
+        # (the torch reference has no EMA to migrate)
+        new_ema = {n: new_params[n] for n in new_ema if n in new_params}
+    model.state = model.state.replace(params=new_params,
+                                      batch_stats=new_stats,
+                                      opt_state=new_opt, ema=new_ema)
     return report
 
 

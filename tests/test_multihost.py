@@ -111,3 +111,16 @@ def test_two_process_matches_single(tmp_path):
     assert np.isclose(got["fake_B_mean"],
                       float(np.mean(np.asarray(ref_visuals["fake_B"]))),
                       rtol=2e-3, atol=2e-4)
+
+
+def test_initialize_rejects_partial_flags():
+    """A partial multi-host spec must fail loudly, not silently run
+    single-process with every host believing it is primary."""
+    from domain_transfer_gan_tpu.parallel import multihost
+    with pytest.raises(ValueError):
+        multihost.initialize("10.0.0.1:1234", 0, -1)   # no num_processes
+    with pytest.raises(ValueError):
+        multihost.initialize("", 2, 0)                 # no coordinator
+    with pytest.raises(ValueError):
+        multihost.initialize("10.0.0.1:1234", 2, 5)    # bad rank
+    multihost.initialize("", 0, -1)  # single-process no-op

@@ -385,4 +385,27 @@ def test_ema_off_checkpoint_loads_into_ema_model(tmp_path):
     m2.opt.expr_dir = str(tmp_path)
     m2.load(str(tmp_path / "latest"))
     assert _leaf_diff(m.state.params, m2.state.params) == 0.0
-    assert m2.state.ema  # shadow kept (from this model's init)
+    # the shadow is seeded from the LOADED params (not m2's random init),
+    # so --use_ema immediately scores trained weights
+    assert m2.state.ema
+    for n in m2.state.ema:
+        assert _leaf_diff(m2.state.ema[n], m.state.params[n]) == 0.0
+
+
+def test_ema_mismatch_orbax_checkpoint(tmp_path):
+    """The orbax backend tolerates the --ema on/off toggle across
+    save/load like the flax-bytes backend does."""
+    cfg = tiny_cfg(seed=3, ckpt_backend="orbax")
+    cfg.expr_dir = str(tmp_path)
+    m = create_model(cfg, testing=True)
+    A, B = batch()
+    m.train_instance(A, B)
+    m.save("latest")
+    m.wait_for_saves()
+
+    m2 = create_model(tiny_cfg(ema=0.9, seed=4, ckpt_backend="orbax"),
+                      testing=True)
+    m2.opt.expr_dir = str(tmp_path)
+    m2.load(str(tmp_path / "latest"))
+    assert _leaf_diff(m.state.params, m2.state.params) == 0.0
+    assert m2.state.ema
