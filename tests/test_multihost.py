@@ -61,9 +61,29 @@ WORKER = textwrap.dedent("""
     fake_B = multihost.to_host(visuals["fake_B"])
     assert fake_B.shape == (8, 64, 64, 3), fake_B.shape
 
+    # tensor parallelism across hosts: params/moments channel-sharded over
+    # a cross-process 'model' axis; checkpoint save must gather them
+    import os
+    cfg2 = TrainConfig(model="aug_cycle_gan", grid_size=64, ngf=4, nef=4,
+                       ndf=4, nlatent=8, batchSize=8, use_pallas=False,
+                       monitor_gnorm=True, seed=1)
+    cfg2.expr_dir = os.path.dirname(outfile)
+    model2 = create_model(cfg2, testing=True, image_size=64)
+    tp = DataParallel(model2, num_devices=4 * nprocs, tensor=2)
+    l3, _, _ = tp.train_instance(A, B, z)
+    tp.save("tp_latest_rank%d" % rank)
+    reload_m = create_model(cfg2, testing=True, image_size=64)
+    reload_m.load(os.path.join(cfg2.expr_dir, "tp_latest_rank%d" % rank))
+    for a, b in zip(jax.tree_util.tree_leaves(reload_m.state.params),
+                    jax.tree_util.tree_leaves(
+                        jax.tree_util.tree_map(multihost.to_host,
+                                               tp.state.params))):
+        assert abs(float(np.mean(a)) - float(np.mean(b))) < 1e-6
+
     if multihost.is_primary():
         out = {k: float(v) for k, v in l2.items()}
         out["fake_B_mean"] = float(np.mean(fake_B))
+        out["tp_D_A"] = float(l3["D_A"])
         with open(outfile, "w") as f:
             json.dump(out, f)
 """)
@@ -111,6 +131,7 @@ def test_two_process_matches_single(tmp_path):
     assert np.isclose(got["fake_B_mean"],
                       float(np.mean(np.asarray(ref_visuals["fake_B"]))),
                       rtol=2e-3, atol=2e-4)
+    assert np.isfinite(got["tp_D_A"])  # cross-host tensor parallelism ran
 
 
 def test_initialize_rejects_partial_flags():
