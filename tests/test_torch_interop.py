@@ -257,3 +257,107 @@ def test_imported_checkpoint_resumes_training(imported, tmp_path):
                     jax.tree_util.tree_leaves(trained.state.params)))
     assert moved > 0.0
     assert os.path.exists(str(expr / "best_A"))
+
+
+def test_cross_framework_step_dynamics_parity(tmp_path):
+    """The strongest dynamics-parity evidence: starting from IDENTICAL
+    weights (fixture checkpoint imported), two consecutive two-phase train
+    steps on identical (A, B, prior_z) produce the same losses in the
+    torch reference math and this framework — step 2 additionally
+    validates that the Adam updates + per-net clipping + updated-D
+    ordering of step 1 moved both frameworks' parameters identically.
+
+    Deterministic because the default config has stoch_enc off (posterior
+    z = mu, reference model.py:417-419) and no dropout — prior_z is the
+    only randomness and it is passed in.
+    """
+    import itertools
+
+    import torch.nn.functional as F
+
+    nets = build_reference_nets(zdim=ZDIM, ngf=8, ndf=8, nef=8, seed=21)
+    ckpt = reference_checkpoint(nets, aug=True, adam_steps=0)
+    path = str(tmp_path / "latest")
+    torch.save(ckpt, path)
+    model = create_model(_cfg(), testing=True)
+    import_torch_checkpoint(path, model)
+
+    rng = np.random.RandomState(17)
+    A = rng.uniform(-1, 1, (4, 3, 64, 64)).astype(np.float32)
+    B = rng.uniform(-1, 1, (4, 3, 64, 64)).astype(np.float32)
+    zs = [rng.randn(4, ZDIM).astype(np.float32) for _ in range(2)]
+
+    for net in nets.values():
+        net.train()
+    # the reference's 4 optimizers (model.py:379-389)
+    adam = lambda params, lr: torch.optim.Adam(params, lr=lr,
+                                               betas=(0.5, 0.999))
+    optG_A = adam(nets["netG_B_A"].parameters(), 2e-4)
+    optG_B = adam(itertools.chain(nets["netG_A_B"].parameters(),
+                                  nets["netE_B"].parameters()), 2e-4)
+    optD_A = adam(nets["netD_A"].parameters(), 2e-4 / 5)
+    optD_B = adam(itertools.chain(nets["netD_B"].parameters(),
+                                  nets["netD_z_B"].parameters()), 2e-4 / 5)
+
+    def torch_step(z2d):
+        tA, tB = torch.from_numpy(A), torch.from_numpy(B)
+        z = torch.from_numpy(z2d)[:, :, None, None]
+        mse, l1f = F.mse_loss, F.l1_loss
+        fake_B = nets["netG_A_B"](tA, z)
+        fake_A = nets["netG_B_A"](tB)
+        mu, _ = nets["netE_B"](torch.cat([fake_A, tB], 1))
+        post_z = mu[:, :, None, None]
+        pa_f = nets["netD_A"](fake_A.detach())
+        pa_t = nets["netD_A"](tA)
+        d_a = 0.5 * (mse(pa_f, torch.zeros_like(pa_f))
+                     + mse(pa_t, torch.ones_like(pa_t)))
+        pb_f = nets["netD_B"](fake_B.detach())
+        pb_t = nets["netD_B"](tB)
+        d_b = 0.5 * (mse(pb_f, torch.zeros_like(pb_f))
+                     + mse(pb_t, torch.ones_like(pb_t)))
+        pz_f = nets["netD_z_B"](post_z.detach().flatten(1))
+        pz_t = nets["netD_z_B"](z.flatten(1))
+        d_z = 0.5 * (mse(pz_f, torch.zeros_like(pz_f))
+                     + mse(pz_t, torch.ones_like(pz_t)))
+        optD_A.zero_grad()
+        optD_B.zero_grad()
+        (d_a + d_b + d_z).backward()
+        for m in ("netD_A", "netD_B", "netD_z_B"):
+            torch.nn.utils.clip_grad_norm_(nets[m].parameters(), 500.0)
+        optD_A.step()
+        optD_B.step()
+        # G phase vs the UPDATED discriminators (model.py:455-456)
+        pa = nets["netD_A"](fake_A)
+        g_a = mse(pa, torch.ones_like(pa))
+        pb = nets["netD_B"](fake_B)
+        g_b = mse(pb, torch.ones_like(pb))
+        pz = nets["netD_z_B"](post_z.flatten(1))
+        g_z = mse(pz, torch.ones_like(pz))
+        rec_A = nets["netG_B_A"](fake_B)
+        cyc_A = l1f(rec_A, tA)
+        mu2, _ = nets["netE_B"](torch.cat([tA, fake_B], 1))
+        cyc_z = l1f(mu2, z.flatten(1))
+        rec_B = nets["netG_A_B"](fake_A, post_z)
+        cyc_B = l1f(rec_B, tB)
+        lg = g_a + g_b + g_z + cyc_A + cyc_B + 0.025 * cyc_z
+        optG_A.zero_grad()
+        optG_B.zero_grad()
+        lg.backward()
+        for m in ("netG_A_B", "netG_B_A", "netE_B"):
+            torch.nn.utils.clip_grad_norm_(nets[m].parameters(), 500.0)
+        optG_A.step()
+        optG_B.step()
+        return dict(D_A=float(d_a), D_B=float(d_b), D_z_B=float(d_z),
+                    G_A=float(g_a), G_B=float(g_b), Cyc_A=float(cyc_A),
+                    Cyc_B=float(cyc_B), Cyc_z_B=float(cyc_z))
+
+    Aj = np.ascontiguousarray(np.transpose(A, (0, 2, 3, 1)))
+    Bj = np.ascontiguousarray(np.transpose(B, (0, 2, 3, 1)))
+    tols = [dict(rtol=2e-3, atol=2e-4),   # step 1: pure forward parity
+            dict(rtol=3e-2, atol=3e-3)]   # step 2: through one Adam update
+    for i, z2d in enumerate(zs):
+        t_losses = torch_step(z2d)
+        j_losses = model.train_instance(Aj, Bj, z2d)[0]
+        for k, v in t_losses.items():
+            assert np.isclose(float(j_losses[k]), v, **tols[i]), \
+                (i, k, float(j_losses[k]), v)
