@@ -361,3 +361,80 @@ def test_cross_framework_step_dynamics_parity(tmp_path):
         for k, v in t_losses.items():
             assert np.isclose(float(j_losses[k]), v, **tols[i]), \
                 (i, k, float(j_losses[k]), v)
+
+
+def test_cross_framework_step_dynamics_parity_stoch(tmp_path):
+    """Same two-step dynamics parity for the stoch_cycle_gan variant
+    (separate step implementation in models/steps.py: no E_B/D_z_B,
+    2 optimizers, reference model.py:126-208)."""
+    import itertools
+
+    import torch.nn.functional as F
+
+    nets = build_reference_nets(zdim=ZDIM, ngf=8, ndf=8, nef=8, seed=31,
+                                aug=False)
+    ckpt = reference_checkpoint(nets, aug=False, adam_steps=0)
+    path = str(tmp_path / "latest")
+    torch.save(ckpt, path)
+    model = create_model(_cfg("stoch_cycle_gan"), testing=True)
+    import_torch_checkpoint(path, model)
+
+    rng = np.random.RandomState(27)
+    A = rng.uniform(-1, 1, (4, 3, 64, 64)).astype(np.float32)
+    B = rng.uniform(-1, 1, (4, 3, 64, 64)).astype(np.float32)
+    zs = [rng.randn(4, ZDIM).astype(np.float32) for _ in range(2)]
+
+    for net in nets.values():
+        net.train()
+    adam = lambda params, lr: torch.optim.Adam(params, lr=lr,
+                                               betas=(0.5, 0.999))
+    optG = adam(itertools.chain(nets["netG_A_B"].parameters(),
+                                nets["netG_B_A"].parameters()), 2e-4)
+    optD = adam(itertools.chain(nets["netD_A"].parameters(),
+                                nets["netD_B"].parameters()), 2e-4 / 5)
+
+    def torch_step(z2d):
+        tA, tB = torch.from_numpy(A), torch.from_numpy(B)
+        z = torch.from_numpy(z2d)[:, :, None, None]
+        mse, l1f = F.mse_loss, F.l1_loss
+        fake_B = nets["netG_A_B"](tA, z)
+        fake_A = nets["netG_B_A"](tB)
+        pa_f = nets["netD_A"](fake_A.detach())
+        pa_t = nets["netD_A"](tA)
+        d_a = 0.5 * (mse(pa_f, torch.zeros_like(pa_f))
+                     + mse(pa_t, torch.ones_like(pa_t)))
+        pb_f = nets["netD_B"](fake_B.detach())
+        pb_t = nets["netD_B"](tB)
+        d_b = 0.5 * (mse(pb_f, torch.zeros_like(pb_f))
+                     + mse(pb_t, torch.ones_like(pb_t)))
+        optD.zero_grad()
+        (d_a + d_b).backward()
+        for m in ("netD_A", "netD_B"):
+            torch.nn.utils.clip_grad_norm_(nets[m].parameters(), 500.0)
+        optD.step()
+        pa = nets["netD_A"](fake_A)
+        g_a = mse(pa, torch.ones_like(pa))
+        pb = nets["netD_B"](fake_B)
+        g_b = mse(pb, torch.ones_like(pb))
+        rec_A = nets["netG_B_A"](fake_B)
+        cyc_A = l1f(rec_A, tA)
+        rec_B = nets["netG_A_B"](fake_A, z)
+        cyc_B = l1f(rec_B, tB)
+        lg = g_a + g_b + cyc_A + cyc_B
+        optG.zero_grad()
+        lg.backward()
+        for m in ("netG_A_B", "netG_B_A"):
+            torch.nn.utils.clip_grad_norm_(nets[m].parameters(), 500.0)
+        optG.step()
+        return dict(D_A=float(d_a), D_B=float(d_b), G_A=float(g_a),
+                    G_B=float(g_b), Cyc_A=float(cyc_A), Cyc_B=float(cyc_B))
+
+    Aj = np.ascontiguousarray(np.transpose(A, (0, 2, 3, 1)))
+    Bj = np.ascontiguousarray(np.transpose(B, (0, 2, 3, 1)))
+    tols = [dict(rtol=2e-3, atol=2e-4), dict(rtol=3e-2, atol=3e-3)]
+    for i, z2d in enumerate(zs):
+        t_losses = torch_step(z2d)
+        j_losses = model.train_instance(Aj, Bj, z2d)[0]
+        for k, v in t_losses.items():
+            assert np.isclose(float(j_losses[k]), v, **tols[i]), \
+                (i, k, float(j_losses[k]), v)
