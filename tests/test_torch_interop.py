@@ -438,3 +438,147 @@ def test_cross_framework_step_dynamics_parity_stoch(tmp_path):
         for k, v in t_losses.items():
             assert np.isclose(float(j_losses[k]), v, **tols[i]), \
                 (i, k, float(j_losses[k]), v)
+
+
+def test_cross_framework_supervised_step_parity(tmp_path):
+    """Supervised-step dynamics parity, including the reference's
+    shared-optimizer quirk: optimizer_D_B covers netD_B AND netD_z_B
+    (model.py:386-389), so the supervised step's optimizer_D_B.step()
+    (model.py:559-562) Adam-steps netD_B with ZERO gradients — under
+    torch-0.3 zero_grad semantics the decayed moments still move its
+    params. Sequence: one unsupervised step (gives netD_B real grads +
+    moments, as train.py:206-216 interleaves), then two supervised steps.
+    """
+    import itertools
+
+    import torch.nn.functional as F
+
+    nets = build_reference_nets(zdim=ZDIM, ngf=8, ndf=8, nef=8, seed=51)
+    ckpt = reference_checkpoint(nets, aug=True, adam_steps=0)
+    path = str(tmp_path / "latest")
+    torch.save(ckpt, path)
+    model = create_model(_cfg(), testing=True)
+    import_torch_checkpoint(path, model)
+
+    rng = np.random.RandomState(37)
+    A = rng.uniform(-1, 1, (4, 3, 64, 64)).astype(np.float32)
+    B = rng.uniform(-1, 1, (4, 3, 64, 64)).astype(np.float32)
+    zs = [rng.randn(4, ZDIM).astype(np.float32) for _ in range(3)]
+
+    for net in nets.values():
+        net.train()
+    adam = lambda params, lr: torch.optim.Adam(params, lr=lr,
+                                               betas=(0.5, 0.999))
+    optG_A = adam(nets["netG_B_A"].parameters(), 2e-4)
+    optG_B = adam(itertools.chain(nets["netG_A_B"].parameters(),
+                                  nets["netE_B"].parameters()), 2e-4)
+    optD_A = adam(nets["netD_A"].parameters(), 2e-4 / 5)
+    optD_B = adam(itertools.chain(nets["netD_B"].parameters(),
+                                  nets["netD_z_B"].parameters()), 2e-4 / 5)
+    mse, l1f = F.mse_loss, F.l1_loss
+    tA, tB = torch.from_numpy(A), torch.from_numpy(B)
+
+    def torch_unsup(z2d):
+        z = torch.from_numpy(z2d)[:, :, None, None]
+        fake_B = nets["netG_A_B"](tA, z)
+        fake_A = nets["netG_B_A"](tB)
+        mu, _ = nets["netE_B"](torch.cat([fake_A, tB], 1))
+        post_z = mu[:, :, None, None]
+        pa_f = nets["netD_A"](fake_A.detach())
+        pa_t = nets["netD_A"](tA)
+        d_a = 0.5 * (mse(pa_f, torch.zeros_like(pa_f))
+                     + mse(pa_t, torch.ones_like(pa_t)))
+        pb_f = nets["netD_B"](fake_B.detach())
+        pb_t = nets["netD_B"](tB)
+        d_b = 0.5 * (mse(pb_f, torch.zeros_like(pb_f))
+                     + mse(pb_t, torch.ones_like(pb_t)))
+        pz_f = nets["netD_z_B"](post_z.detach().flatten(1))
+        pz_t = nets["netD_z_B"](z.flatten(1))
+        d_z = 0.5 * (mse(pz_f, torch.zeros_like(pz_f))
+                     + mse(pz_t, torch.ones_like(pz_t)))
+        optD_A.zero_grad()
+        optD_B.zero_grad()
+        (d_a + d_b + d_z).backward()
+        for m in ("netD_A", "netD_B", "netD_z_B"):
+            torch.nn.utils.clip_grad_norm_(nets[m].parameters(), 500.0)
+        optD_A.step()
+        optD_B.step()
+        pa = nets["netD_A"](fake_A)
+        pb = nets["netD_B"](fake_B)
+        pz = nets["netD_z_B"](post_z.flatten(1))
+        rec_A = nets["netG_B_A"](fake_B)
+        mu2, _ = nets["netE_B"](torch.cat([tA, fake_B], 1))
+        rec_B = nets["netG_A_B"](fake_A, post_z)
+        lg = (mse(pa, torch.ones_like(pa)) + mse(pb, torch.ones_like(pb))
+              + mse(pz, torch.ones_like(pz)) + l1f(rec_A, tA)
+              + l1f(rec_B, tB) + 0.025 * l1f(mu2, z.flatten(1)))
+        optG_A.zero_grad()
+        optG_B.zero_grad()
+        lg.backward()
+        for m in ("netG_A_B", "netG_B_A", "netE_B"):
+            torch.nn.utils.clip_grad_norm_(nets[m].parameters(), 500.0)
+        optG_A.step()
+        optG_B.step()
+
+    def torch_sup(z2d):
+        # reference model.py:541-604 with torch-0.3 zero_grad semantics
+        # (set_to_none=False keeps zero .grad tensors on netD_B so the
+        # shared optimizer_D_B step moves it via decayed moments)
+        z = torch.from_numpy(z2d)[:, :, None, None]
+        mu, _ = nets["netE_B"](torch.cat([tA, tB], 1))
+        post_z = mu[:, :, None, None]
+        pz_f = nets["netD_z_B"](post_z.detach().flatten(1))
+        pz_t = nets["netD_z_B"](z.flatten(1))
+        d_z = 0.5 * (mse(pz_f, torch.zeros_like(pz_f))
+                     + mse(pz_t, torch.ones_like(pz_t)))
+        optD_B.zero_grad(set_to_none=False)
+        d_z.backward()
+        torch.nn.utils.clip_grad_norm_(nets["netD_z_B"].parameters(), 500.0)
+        optD_B.step()
+        pred_B = nets["netG_A_B"](tA, post_z)
+        pred_A = nets["netG_B_A"](tB)
+        s_a = l1f(pred_A, tA)
+        s_b = l1f(pred_B, tB)
+        pz = nets["netD_z_B"](post_z.flatten(1))
+        g_z = mse(pz, torch.ones_like(pz))
+        lg = 0.1 * s_a + 0.1 * s_b + g_z
+        optG_A.zero_grad(set_to_none=False)
+        optG_B.zero_grad(set_to_none=False)
+        lg.backward()
+        for m in ("netG_A_B", "netG_B_A", "netE_B"):
+            torch.nn.utils.clip_grad_norm_(nets[m].parameters(), 500.0)
+        optG_A.step()
+        optG_B.step()
+        return dict(S_A=float(s_a), S_B=float(s_b), D_z_B=float(d_z))
+
+    Aj = np.ascontiguousarray(np.transpose(A, (0, 2, 3, 1)))
+    Bj = np.ascontiguousarray(np.transpose(B, (0, 2, 3, 1)))
+
+    torch_unsup(zs[0])
+    model.train_instance(Aj, Bj, zs[0])
+    d_b_before = {k: v.clone() for k, v in nets["netD_B"].state_dict().items()}
+
+    tols = [dict(rtol=5e-3, atol=5e-4), dict(rtol=3e-2, atol=3e-3)]
+    for i, z2d in enumerate(zs[1:]):
+        t_losses = torch_sup(z2d)
+        j_losses = model.supervised_train_instance(Aj, Bj, z2d)
+        for k, v in t_losses.items():
+            assert np.isclose(float(j_losses[k]), v, **tols[i]), \
+                (i, k, float(j_losses[k]), v)
+
+    # the shared-optimizer quirk: netD_B moved despite zero grads, and it
+    # moved IDENTICALLY in both frameworks
+    moved = max(float((v - d_b_before[k]).abs().max())
+                for k, v in nets["netD_B"].state_dict().items())
+    assert moved > 0.0, "quirk inactive: netD_B did not move"
+    out = str(tmp_path / "export.pt")
+    export_torch_checkpoint(model, out)
+    ex = torch.load(out, weights_only=False)
+    for k, v in nets["netD_B"].state_dict().items():
+        if "num_batches_tracked" in k:
+            continue
+        # atol ~5*lr_d: Adam's first-step update is ±lr per coordinate, so
+        # a near-zero-gradient coordinate whose sign differs by fp noise
+        # between frameworks lands 2*lr_d apart — not a divergence
+        np.testing.assert_allclose(ex["netD_B"][k].numpy(), v.numpy(),
+                                   atol=2e-4, rtol=1e-3)
