@@ -582,3 +582,69 @@ def test_cross_framework_supervised_step_parity(tmp_path):
         # between frameworks lands 2*lr_d apart — not a divergence
         np.testing.assert_allclose(ex["netD_B"][k].numpy(), v.numpy(),
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_cross_framework_variational_ubo_parity(tmp_path):
+    """The variational UBO/BPP eval (reference evaluate.py:21-148, the
+    headline quality metric) agrees across frameworks on identical
+    imported weights: an 80-step RMSprop-through-the-generator
+    optimization lands within tens of nats of the torch oracle on a
+    ~100k-nat objective (each arm draws its own dequant/eps noise; the
+    observed cross-arm gap matches within-arm rerun noise)."""
+    import math
+
+    from domain_transfer_gan_tpu.eval.metrics import variational_ubo
+
+    nets = build_reference_nets(zdim=ZDIM, ngf=8, ndf=8, nef=8, seed=61)
+    ckpt = reference_checkpoint(nets, aug=True, adam_steps=0)
+    path = str(tmp_path / "latest")
+    torch.save(ckpt, path)
+    model = create_model(_cfg(), testing=True)
+    import_torch_checkpoint(path, model)
+
+    rng = np.random.RandomState(77)
+    A = rng.uniform(-1, 1, (4, 3, 64, 64)).astype(np.float32)
+    B = rng.uniform(-1, 1, (4, 3, 64, 64)).astype(np.float32)
+    STEPS = 80
+
+    torch.manual_seed(5)
+    for n in nets.values():
+        n.train()
+    tA, tB = torch.from_numpy(A), torch.from_numpy(B)
+    dequant = torch.zeros_like(tB).uniform_(0, 1.0 / 127.5)
+    with torch.no_grad():
+        mu0, _ = nets["netE_B"](torch.cat([tA, tB], 1))
+    mu = mu0.clone().detach().requires_grad_(True)
+    logvar = torch.full((4, ZDIM), math.log(0.01), requires_grad=True)
+    logvar_B = torch.full((1, 3, 64, 64), math.log(0.01))
+    opt = torch.optim.RMSprop([mu, logvar], lr=1e-2)
+    tBd = tB + dequant
+
+    def reparam(mu, logvar):
+        std = (0.5 * logvar).exp()
+        return torch.clamp(mu + torch.randn_like(std) * std, -4.0, 4.0)
+
+    z = reparam(mu, logvar)
+    fake_B = nets["netG_A_B"](tA, z[:, :, None, None])
+    for _ in range(STEPS):
+        sd = (0.5 * logvar_B).exp()
+        lp = (-0.5 * logvar_B - (tBd - fake_B).abs() / sd - math.log(2.0))
+        lp = lp.reshape(4, -1).sum(1)
+        kld = -0.5 * torch.sum(logvar + 1.0 - mu ** 2 - logvar.exp(), dim=1)
+        ubo = (-lp + kld) + 64 * 64 * 3 * math.log(127.5)
+        t_ubo, t_kld = float(ubo.mean()), float(kld.mean())
+        t_bpp = t_ubo / (64 * 64 * 3 * math.log(2.0))
+        opt.zero_grad()
+        ubo.mean().backward()
+        opt.step()
+        z = reparam(mu, logvar)
+        fake_B = nets["netG_A_B"](tA, z[:, :, None, None])
+
+    Aj = np.ascontiguousarray(np.transpose(A, (0, 2, 3, 1)))
+    Bj = np.ascontiguousarray(np.transpose(B, (0, 2, 3, 1)))
+    j_ubo, j_kld, j_bpp = variational_ubo(model, Aj, Bj, STEPS)
+
+    # measured rerun noise within one arm is ~10 nats on ~101k; allow 12x
+    assert abs(float(j_ubo) - t_ubo) < 120.0, (float(j_ubo), t_ubo)
+    assert abs(float(j_kld) - t_kld) < 3.0, (float(j_kld), t_kld)
+    assert abs(float(j_bpp) - t_bpp) < 0.02, (float(j_bpp), t_bpp)
