@@ -41,7 +41,7 @@ def export_model(model, out_dir: str, batch: int = 32):
     nets, params = model.nets, model.state.params
     stats = model.state.batch_stats
 
-    def make_fn(name, *extra_specs):
+    def make_fn(name):
         net = nets[name]
         p, st = params[name], stats[name]
 
@@ -105,6 +105,10 @@ def main(argv=None):
     expr_dir = os.path.dirname(args.chk_path)
     opt = load_train_config_from_expr_dir(expr_dir, dataroot=".", seed=0)
     opt.expr_dir = expr_dir
+    # Pallas kernels are TPU-only custom calls — never bake them into a
+    # portable StableHLO artifact (params are identical either way; same
+    # rule as cli/import_torch.py)
+    opt.use_pallas = False
     model = create_model(opt, testing=True, image_size=opt.grid_size)
     model.load(args.chk_path)
     manifest = export_model(model, args.out, batch=args.batch)

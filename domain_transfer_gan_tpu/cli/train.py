@@ -277,12 +277,26 @@ def train_model(opt: TrainConfig = None, argv=None):
         epoch_iter = 0
 
         # Double-buffered host->HBM feed: input transfer overlaps compute
-        # (the reference synchronously .cuda()'d every batch).
-        feed = prefetch_to_device(train_dataset, mesh, space_axis=space_ax)
+        # (the reference synchronously .cuda()'d every batch).  Size guards
+        # run BEFORE sharding: a short tail batch from the per-file
+        # DataLoader would crash device_put on a mesh (batch not divisible
+        # by the data axis) and even a divisible one would recompile the
+        # step for a second shape — skip them up front (the UnalignedIterator
+        # path never emits one thanks to its last-batch backoff).
+        n_div = mesh.shape[opt.data_axis] if mesh is not None else 1
+
+        def full_batches(it):
+            for d in it:
+                nA, nB = d["A"].shape[0], d["B"].shape[0]
+                if nA != nB or nA % n_div != 0 or (
+                        mesh is not None and nA != opt.batchSize):
+                    continue
+                yield d
+
+        feed = prefetch_to_device(full_batches(train_dataset), mesh,
+                                  space_axis=space_ax)
         for i, data in enumerate(feed):
             real_A, real_B = data["A"], data["B"]
-            if real_A.shape[0] != real_B.shape[0]:
-                continue
             total_steps += opt.batchSize
             epoch_iter += opt.batchSize
 

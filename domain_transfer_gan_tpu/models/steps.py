@@ -68,6 +68,23 @@ def _dropout_rngs(key, use_dropout):
 # StochCycleGAN (also cycle_gan via ignore_noise)  — reference model.py:126-208
 # ---------------------------------------------------------------------------
 
+def make_score_pair(nets, concat_d: bool):
+    """(fake_pred, real_pred, stats) scorer for an image discriminator: one
+    concatenated fake|real forward when norms are per-sample (numerically
+    identical, better MXU fill), two forwards otherwise (batch norm couples
+    samples across the batch)."""
+    def score_pair(name, d_params, d_stats, fake, real):
+        if concat_d:
+            pred, st = apply_net(nets[name], d_params, d_stats,
+                                 jnp.concatenate([fake, real], axis=0))
+            pf, pt = jnp.split(pred, 2, axis=0)
+            return pf, pt, st
+        pf, st = apply_net(nets[name], d_params, d_stats, fake)
+        pt, st = apply_net(nets[name], d_params, st, real)
+        return pf, pt, st
+    return score_pair
+
+
 def make_stoch_train_step(nets, cfg: TrainConfig, ignore_noise: bool):
     tx = adam_tx(cfg.beta1)
     use_sig = cfg.use_sigmoid
@@ -114,17 +131,7 @@ def make_stoch_train_step(nets, cfg: TrainConfig, ignore_noise: bool):
             d_fake_A, d_fake_B = sg(fake_A), sg(fake_B)
 
         # ----- phase 1: discriminators on detached fakes ---------------
-        def score_pair(name, d_params, d_stats, fake, real):
-            """(fake_pred, real_pred, stats) via one concatenated forward
-            when norms are per-sample, two forwards otherwise."""
-            if concat_d:
-                p, st = apply_net(nets[name], d_params, d_stats,
-                                  jnp.concatenate([fake, real], axis=0))
-                pf, pt = jnp.split(p, 2, axis=0)
-                return pf, pt, st
-            pf, st = apply_net(nets[name], d_params, d_stats, fake)
-            pt, st = apply_net(nets[name], d_params, st, real)
-            return pf, pt, st
+        score_pair = make_score_pair(nets, concat_d)
 
         def d_loss_fn(d_params):
             pf_A, pt_A, stA = score_pair("netD_A", d_params["netD_A"],
@@ -263,12 +270,12 @@ def make_aug_train_step(nets, cfg: TrainConfig):
             post_z, mu, logvar, logvar_eff, st_E = posterior(
                 g_params["netE_B"], stats["netE_B"], fake_A, real_B, eps_post)
             return ((fake_B, fake_A, post_z, mu, logvar_eff),
-                    (st_GAB, st_GBA, st_E, logvar))
+                    (st_GAB, st_GBA, st_E))
 
         g_names = ("netG_A_B", "netG_B_A", "netE_B")
         g_params = {k: p[k] for k in g_names}
         ((fake_B, fake_A, post_z, mu_r, logvar_r_eff), shared_pullback,
-         (st_GAB, st_GBA, st_E, logvar_r)) = jax.vjp(
+         (st_GAB, st_GBA, st_E)) = jax.vjp(
             shared_fwd, g_params, has_aux=True)
 
         # fake-image pool (opt-in): D trains on a fresh/replayed mix
@@ -282,15 +289,7 @@ def make_aug_train_step(nets, cfg: TrainConfig):
             d_fake_A, d_fake_B = sg(fake_A), sg(fake_B)
 
         # ----- phase 1: discriminators on detached inputs --------------
-        def score_pair(name, d_params, d_stats, fake, real):
-            if concat_d:
-                p, st = apply_net(nets[name], d_params, d_stats,
-                                  jnp.concatenate([fake, real], axis=0))
-                pf, pt = jnp.split(p, 2, axis=0)
-                return pf, pt, st
-            pf, st = apply_net(nets[name], d_params, d_stats, fake)
-            pt, st = apply_net(nets[name], d_params, st, real)
-            return pf, pt, st
+        score_pair = make_score_pair(nets, concat_d)
 
         def d_loss_fn(d_params):
             pf_A, pt_A, stA = score_pair("netD_A", d_params["netD_A"],
