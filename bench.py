@@ -91,7 +91,7 @@ def measure_tpu(batch=BATCH, dtype=DTYPE) -> dict:
         z = jnp.zeros((batch, cfg.nlatent), jnp.float32)
         compiled = model._train_step.lower(
             model.state, real_A, real_B, z, jnp.float32(cfg.lr),
-            jax.random.PRNGKey(0)).compile()
+            jnp.float32(cfg.lr / 5.0), jax.random.PRNGKey(0)).compile()
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops = float(ca.get("flops", float("nan")))

@@ -4,13 +4,20 @@ options.py:30, although its eval constants assume 64 — quirk Q5), including
 the 9-block generator option (the reference parses n_blocks=9 but hardcodes
 3 — quirk Q1; this framework honors it).
 
+Emits the same roofline view as bench.py (compiled-program FLOPs / HBM
+bytes -> MFU and achieved bandwidth vs the v5e peaks) so the hires numbers
+are comparable with the 64x64 headline, and writes one JSON line per config
+to results/hires.json.
+
 Timing uses host-fetch synchronization (see BASELINE.md).
 
-Usage: python -m benchmarks.hires_bench
+Usage: python -m benchmarks.hires_bench [--sizes 256 ...]
 """
 
 from __future__ import annotations
 
+import json
+import os
 import time
 
 import numpy as np
@@ -25,40 +32,83 @@ CONFIGS = (
 WARMUP = 5
 STEPS = 30
 
+PEAK_FLOPS = 197e12   # v5e bf16
+PEAK_HBM = 819e9      # v5e HBM bytes/s
 
-def main():
+
+def run_config(size, blocks, batch, dtype):
     import jax
     import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from domain_transfer_gan_tpu.config import TrainConfig
     from domain_transfer_gan_tpu.models import create_model
 
+    cfg = TrainConfig(model="aug_cycle_gan", grid_size=size,
+                      batchSize=batch, ngf=32, nef=32, ndf=64,
+                      nlatent=16, n_blocks=blocks, use_pallas=False,
+                      compute_dtype=dtype, monitor_gnorm=True, seed=0)
+    cfg.expr_dir = ""
+    model = create_model(cfg, testing=True, image_size=size)
+    rng = np.random.RandomState(0)
+    A = jnp.asarray(rng.uniform(-1, 1, (batch, size, size, 3))
+                    .astype(np.float32))
+    B = jnp.asarray(rng.uniform(-1, 1, (batch, size, size, 3))
+                    .astype(np.float32))
+    for _ in range(WARMUP):
+        losses, _, _ = model.train_instance(A, B)
+    float(losses["D_A"])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        losses, _, _ = model.train_instance(A, B)
+    float(losses["D_A"])
+    dt = time.perf_counter() - t0
+    step_s = dt / STEPS
+    rec = {"size": size, "n_blocks": blocks, "batch": batch, "dtype": dtype,
+           "images_per_sec": STEPS * batch / dt, "step_ms": 1e3 * step_s}
+    # roofline: compiled cost analysis (same path as bench.py:90-104)
+    try:
+        z = jnp.zeros((batch, cfg.nlatent), jnp.float32)
+        compiled = model._train_step.lower(
+            model.state, A, B, z, jnp.float32(cfg.lr),
+            jnp.float32(cfg.lr / 5.0), jax.random.PRNGKey(0)).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", float("nan")))
+        byts = float(ca.get("bytes accessed", float("nan")))
+        rec.update(flops_per_step=flops, bytes_per_step=byts,
+                   mfu=flops / step_s / PEAK_FLOPS,
+                   hbm_gbps=byts / step_s / 1e9,
+                   hbm_frac=byts / step_s / PEAK_HBM)
+    except Exception as e:
+        rec["cost_analysis_error"] = repr(e)
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    import argparse
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=int, nargs="*", default=None,
+                    help="restrict to these grid sizes")
+    args = ap.parse_args()
+
+    out = []
     for size, blocks, batch, dtype in CONFIGS:
-        cfg = TrainConfig(model="aug_cycle_gan", grid_size=size,
-                          batchSize=batch, ngf=32, nef=32, ndf=64,
-                          nlatent=16, n_blocks=blocks, use_pallas=False,
-                          compute_dtype=dtype, monitor_gnorm=True, seed=0)
-        cfg.expr_dir = ""
-        model = create_model(cfg, testing=True, image_size=size)
-        rng = np.random.RandomState(0)
-        A = jnp.asarray(rng.uniform(-1, 1, (batch, size, size, 3))
-                        .astype(np.float32))
-        B = jnp.asarray(rng.uniform(-1, 1, (batch, size, size, 3))
-                        .astype(np.float32))
-        for _ in range(WARMUP):
-            losses, _, _ = model.train_instance(A, B)
-        float(losses["D_A"])
-        t0 = time.perf_counter()
-        for _ in range(STEPS):
-            losses, _, _ = model.train_instance(A, B)
-        float(losses["D_A"])
-        dt = time.perf_counter() - t0
-        print("%dx%d blocks=%d b%d %s: %.0f img/s  %.1f ms/step"
-              % (size, size, blocks, batch, dtype, STEPS * batch / dt,
-                 1e3 * dt / STEPS), flush=True)
+        if args.sizes and size not in args.sizes:
+            continue
+        out.append(run_config(size, blocks, batch, dtype))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results", "hires.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote %s" % path)
 
 
 if __name__ == "__main__":

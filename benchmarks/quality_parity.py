@@ -28,6 +28,8 @@ import numpy as np
 
 ZDIM = 16
 EVAL_BATCH = 100
+DIV_INPUTS = 32   # dev-A inputs scored for z-diversity
+DIV_NUM_Z = 10    # z draws per input (reference generate_multi grid width)
 
 
 def _load(dataroot, iter_seed, batch):
@@ -51,7 +53,7 @@ def _fid(dev_B, fake_B):
 # ---------------------------------------------------------------------------
 
 def run_torch(dataroot, out, epochs, niter, batch, seed, eval_freq,
-              iter_seed):
+              iter_seed, d_lr_mode="reference"):
     # keep jax (used only for the FID extractor) off the TPU so the jax arm
     # can own the single chip concurrently
     import jax
@@ -107,6 +109,7 @@ def run_torch(dataroot, out, epochs, niter, batch, seed, eval_freq,
         return torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
 
     def dev_metrics():
+        from domain_transfer_gan_tpu.eval.diversity import z_diversity_stats
         with torch.no_grad():
             mses, fakes = [], []
             for i in range(0, len(devA), EVAL_BATCH):
@@ -117,8 +120,16 @@ def run_torch(dataroot, out, epochs, niter, batch, seed, eval_freq,
                 z = torch.randn(A.shape[0], ZDIM, 1, 1)
                 fb = nets["g_ab"](A, z)
                 fakes.append(np.transpose(fb.numpy(), (0, 2, 3, 1)))
+            # many-to-many: DIV_NUM_Z decodes per input, input-major
+            multi = []
+            for a in to_t(devA[:DIV_INPUTS]):
+                zK = torch.randn(DIV_NUM_Z, ZDIM, 1, 1)
+                aK = a[None].expand(DIV_NUM_Z, -1, -1, -1)
+                multi.append(np.transpose(nets["g_ab"](aK, zK).numpy(),
+                                          (0, 2, 3, 1)))
         fid = _fid(devB, np.concatenate(fakes))
-        return float(np.mean(mses)), fid
+        div = z_diversity_stats(np.concatenate(multi), DIV_NUM_Z)
+        return float(np.mean(mses)), fid, div
 
     for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
@@ -132,18 +143,21 @@ def run_torch(dataroot, out, epochs, niter, batch, seed, eval_freq,
         rec = {"epoch": epoch, "losses": mean_losses,
                "epoch_sec": time.time() - t0}
         if epoch % eval_freq == 0 or epoch == epochs:
-            mse, fid = dev_metrics()
-            rec.update(mse_A=mse, fid_B=fid)
-            print("[torch %d] MSE_A %.4f FID_B %.3f (%.0fs)"
-                  % (epoch, mse, fid, rec["epoch_sec"]), flush=True)
+            mse, fid, div = dev_metrics()
+            rec.update(mse_A=mse, fid_B=fid, z_div=div)
+            print("[torch %d] MSE_A %.4f FID_B %.3f zdiv %.3f (%.0fs)"
+                  % (epoch, mse, fid, div["ratio"], rec["epoch_sec"]),
+                  flush=True)
         history.append(rec)
-        _dump(out, "torch", epochs, niter, batch, seed, history)
+        _dump(out, "torch", epochs, niter, batch, seed, history, d_lr_mode)
         if epoch > niter:  # linear decay, reference model.py:282-291
             lr -= 2e-4 / (epochs - niter)
             for g in opt_g.param_groups:
                 g["lr"] = lr
             for g in opt_d.param_groups:
-                g["lr"] = lr / 5.0
+                # reference-faithful (Q11): update_learning_rate sets D
+                # groups to the FULL decayed lr, dropping the /5 discount
+                g["lr"] = lr / 5.0 if d_lr_mode == "ratio" else lr
         save_ckpt(epoch)
     return history
 
@@ -153,7 +167,7 @@ def run_torch(dataroot, out, epochs, niter, batch, seed, eval_freq,
 # ---------------------------------------------------------------------------
 
 def run_jax(dataroot, out, epochs, niter, batch, seed, eval_freq, iter_seed,
-            dtype="float32", ema=0.0):
+            dtype="float32", ema=0.0, d_lr_mode="reference", size=64):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -164,16 +178,21 @@ def run_jax(dataroot, out, epochs, niter, batch, seed, eval_freq, iter_seed,
     from domain_transfer_gan_tpu.eval import eval_mse_A
     from domain_transfer_gan_tpu.models import create_model
 
-    cfg = TrainConfig(model="aug_cycle_gan", grid_size=64, batchSize=batch,
+    cfg = TrainConfig(model="aug_cycle_gan", grid_size=size, batchSize=batch,
                       ngf=32, nef=32, ndf=64, nlatent=ZDIM,
                       niter=niter, niter_decay=epochs - niter,
                       use_pallas=False, compute_dtype=dtype,
-                      monitor_gnorm=False, seed=seed, ema=ema)
+                      monitor_gnorm=False, seed=seed, ema=ema,
+                      d_lr_mode=d_lr_mode)
     cfg.expr_dir = ""
-    model = create_model(cfg, testing=True, image_size=64)
+    # size != 64 exercises the adaptive-pool latent encoder
+    # (nn/networks.py LatentEncoder) — the capability extension that makes
+    # aug_cycle_gan train at the reference's default 256 (or 128) grid
+    model = create_model(cfg, testing=True, image_size=size)
     train_it, (devA, devB), _ = _load(dataroot, iter_seed, batch)
 
     def dev_metrics():
+        from domain_transfer_gan_tpu.eval.diversity import eval_z_diversity
         model.swap_ema()  # no-op unless --ema: score the averaged weights
         dev_ds = AlignedIterator(devA, devB, batch_size=EVAL_BATCH)
         mse = eval_mse_A(dev_ds, model)
@@ -183,8 +202,9 @@ def run_jax(dataroot, out, epochs, niter, batch, seed, eval_freq, iter_seed,
             z = model.sample_prior_z(A.shape[0])
             fakes.append(np.asarray(model.predict_B(A, z)))
         fid = _fid(devB, np.concatenate(fakes))
+        div = eval_z_diversity(model, devA[:DIV_INPUTS], num_z=DIV_NUM_Z)
         model.swap_ema()
-        return float(mse), fid
+        return float(mse), fid, div
 
     history = []
     for epoch in range(1, epochs + 1):
@@ -200,22 +220,25 @@ def run_jax(dataroot, out, epochs, niter, batch, seed, eval_freq, iter_seed,
         rec = {"epoch": epoch, "losses": mean_losses,
                "epoch_sec": time.time() - t0}
         if epoch % eval_freq == 0 or epoch == epochs:
-            mse, fid = dev_metrics()
-            rec.update(mse_A=mse, fid_B=fid)
-            print("[jax %d] MSE_A %.4f FID_B %.3f (%.0fs)"
-                  % (epoch, mse, fid, rec["epoch_sec"]), flush=True)
+            mse, fid, div = dev_metrics()
+            rec.update(mse_A=mse, fid_B=fid, z_div=div)
+            print("[jax %d] MSE_A %.4f FID_B %.3f zdiv %.3f (%.0fs)"
+                  % (epoch, mse, fid, div["ratio"], rec["epoch_sec"]),
+                  flush=True)
         history.append(rec)
         _dump(out, "jax-" + dtype + (("-ema%g" % ema) if ema else ""),
-              epochs, niter, batch, seed, history)
+              epochs, niter, batch, seed, history, d_lr_mode)
         if epoch > niter:
             model.update_learning_rate()
     return history
 
 
-def _dump(out, arm, epochs, niter, batch, seed, history):
+def _dump(out, arm, epochs, niter, batch, seed, history,
+          d_lr_mode="reference"):
     with open(out, "w") as f:
         json.dump({"config": {"arm": arm, "epochs": epochs, "niter": niter,
-                              "batch": batch, "seed": seed},
+                              "batch": batch, "seed": seed,
+                              "d_lr_mode": d_lr_mode},
                    "history": history}, f, indent=1)
 
 
@@ -232,14 +255,20 @@ def main():
     ap.add_argument("--iter_seed", type=int, default=99)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--ema", type=float, default=0.0)
+    ap.add_argument("--d_lr_mode", default="reference",
+                    choices=["reference", "ratio"])
+    ap.add_argument("--size", type=int, default=64,
+                    help="grid size (jax arm only; !=64 uses the "
+                         "adaptive-pool encoder)")
     args = ap.parse_args()
     if args.arm == "torch":
         run_torch(args.dataroot, args.out, args.epochs, args.niter,
-                  args.batch, args.seed, args.eval_freq, args.iter_seed)
+                  args.batch, args.seed, args.eval_freq, args.iter_seed,
+                  args.d_lr_mode)
     else:
         run_jax(args.dataroot, args.out, args.epochs, args.niter, args.batch,
                 args.seed, args.eval_freq, args.iter_seed, args.dtype,
-                args.ema)
+                args.ema, args.d_lr_mode, args.size)
 
 
 if __name__ == "__main__":

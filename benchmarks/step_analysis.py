@@ -68,6 +68,7 @@ def main(batch=128, dtype="bfloat16"):
 
     report["full_step_ms"] = 1e3 * timed(full_step, A, B, iters=30)
     compiled = m._train_step.lower(m.state, A, B, z, jnp.float32(cfg.lr),
+                                   jnp.float32(cfg.lr / 5.0),
                                    jax.random.PRNGKey(0)).compile()
     ca = compiled.cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca

@@ -7,6 +7,7 @@ fid (proxy-FID quality metric).
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -91,6 +92,13 @@ def visualize_inference(opt, real_A, real_B, model, name="inf_test.png"):
 
 def test_model(argv=None):
     topt = TestOptions().parse(argv)
+    # global eval seeding (reference test.py:209-213 seeds random/np/torch
+    # to 12345): the UnalignedIterator permutations feeding train_logvar
+    # draw from np.random, so without this repeated --metric bpp
+    # invocations would not be byte-identical
+    import random as _random
+    _random.seed(12345)
+    np.random.seed(12345)
     expr_dir = os.path.dirname(topt.chk_path)
     opt = load_train_config_from_expr_dir(expr_dir, dataroot=topt.dataroot,
                                           seed=12345)
@@ -191,12 +199,33 @@ def test_model(argv=None):
 
     elif topt.metric == "fid":
         # proxy-FID of generated B against real B (new capability; the
-        # quality-parity metric named in BASELINE.md)
+        # quality-parity metric named in BASELINE.md).  --fid_extractor
+        # swaps in a serialized real extractor (e.g. Inception features)
+        # for true FID where weights are available.
         from ..eval import eval_fid_B
-        fid = eval_fid_B(test_dataset, model)
-        print("PROXY_FID_B: %.4f" % fid)
+        extractor = None
+        label = "PROXY_FID_B"
+        if getattr(topt, "fid_extractor", ""):
+            from ..eval.fid import load_extractor
+            extractor = load_extractor(topt.fid_extractor)
+            label = "FID_B"
+        fid = eval_fid_B(test_dataset, model, extractor=extractor)
+        print("%s: %.4f" % (label, fid))
         with open(os.path.join(opt.res_dir, "fid.txt"), "w") as f:
             f.write("%f\n" % fid)
+
+    elif topt.metric == "z_div":
+        # many-to-many diversity over z (new capability): the property that
+        # makes aug_cycle_gan augmented; a z-ignoring generator scores ~0
+        from ..eval import eval_z_diversity
+        batch = next(iter(dev_dataset))
+        n = min(32, np.asarray(batch["A"]).shape[0])
+        div = eval_z_diversity(model, np.asarray(batch["A"])[:n],
+                               num_z=opt.num_multi)
+        print("Z_DIV_RATIO: %.4f (intra %.4f / inter %.4f)"
+              % (div["ratio"], div["intra_z"], div["inter_input"]))
+        with open(os.path.join(opt.res_dir, "z_diversity.json"), "w") as f:
+            json.dump(div, f, indent=2)
     else:
         raise NotImplementedError("wrong metric!")
 

@@ -305,7 +305,12 @@ def train_model(opt: TrainConfig = None, argv=None):
                     and not trace_active):
                 jax.profiler.start_trace(opt.profile_dir)
                 trace_active = True
-            out = model.train_instance(real_A, real_B)
+            # supervised runs reuse the unsupervised step's prior_z_B draw
+            # in the supervised step (reference train.py:211-216 passes the
+            # SAME prior_z_B to both), so draw it in the driver there
+            prior_z = (model.sample_prior_z(opt.batchSize)
+                       if opt.supervised else None)
+            out = model.train_instance(real_A, real_B, prior_z)
             if opt.monitor_gnorm:
                 losses, visuals, gnorms = out
             else:
@@ -319,8 +324,8 @@ def train_model(opt: TrainConfig = None, argv=None):
 
             if opt.supervised:
                 sup_data = next(sup_iter)
-                sup_losses = model.supervised_train_instance(sup_data["A"],
-                                                             sup_data["B"])
+                sup_losses = model.supervised_train_instance(
+                    sup_data["A"], sup_data["B"], prior_z)
             if opt.check_numerics:
                 check_losses_finite(losses, epoch, i)
                 if opt.supervised:

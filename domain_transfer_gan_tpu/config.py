@@ -131,6 +131,13 @@ class TrainConfig:
     #                                of the generator/encoder weights at this
     #                                decay (e.g. 0.999); eval/export can swap
     #                                them in (model.swap_ema)
+    d_lr_mode: str = "reference"   # discriminator lr during decay (Q11):
+    #                                "reference" — update_learning_rate sets
+    #                                EVERY optimizer (incl. D) to the full
+    #                                decayed lr (model.py:282-291,735-748:
+    #                                the /5 discount exists only until decay
+    #                                starts); "ratio" — keep D at lr/5 of
+    #                                the decayed schedule throughout
     coordinator: str = ""          # multi-host: "host:port" of process 0,
     #                                or "auto" (TPU-pod auto-detection)
     num_processes: int = 0         # multi-host: total process count
@@ -257,6 +264,8 @@ class TrainOptions:
         p.add_argument("--check_numerics", type=int, choices=[0, 1],
                        default=d.check_numerics)
         p.add_argument("--ema", type=float, default=d.ema)
+        p.add_argument("--d_lr_mode", type=str, default=d.d_lr_mode,
+                       choices=["reference", "ratio"])
         p.add_argument("--coordinator", type=str, default=d.coordinator)
         p.add_argument("--num_processes", type=int, default=d.num_processes)
         p.add_argument("--process_id", type=int, default=d.process_id)
@@ -286,8 +295,12 @@ class TestConfig:
     res_dir: str = "test_res"
     train_logvar: int = 1
     dataroot: str = ""
-    metric: str = "mse"  # {bpp, mse, visual, noise_sens}
+    metric: str = "mse"  # {bpp, mse, visual, noise_sens, mvgauss, fid, z_div}
     use_ema: int = 0     # 1: score the EMA generator weights (--ema runs)
+    fid_extractor: str = ""  # path to a jax.export-serialized feature
+    #                          extractor (eval.fid.save_extractor) — e.g.
+    #                          real Inception features; default: the
+    #                          fixed-seed random-feature proxy
 
 
 class TestOptions:
@@ -300,9 +313,10 @@ class TestOptions:
         self.parser.add_argument("--dataroot", required=True, type=str)
         self.parser.add_argument("--metric", required=True, type=str,
                                  choices=["bpp", "mse", "visual", "noise_sens",
-                                          "mvgauss", "fid"])
+                                          "mvgauss", "fid", "z_div"])
         self.parser.add_argument("--use_ema", type=int, choices=[0, 1],
                                  default=0)
+        self.parser.add_argument("--fid_extractor", type=str, default="")
 
     def parse(self, args=None) -> TestConfig:
         ns = self.parser.parse_args(args)

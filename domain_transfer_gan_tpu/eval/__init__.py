@@ -17,3 +17,4 @@ from .visualize import (
 )
 from .fid import compute_fid, eval_fid_B, frechet_distance, \
     random_feature_extractor
+from .diversity import eval_z_diversity, z_diversity_stats

@@ -69,6 +69,62 @@ def random_feature_extractor(width: int = 64, seed: int = 1234,
     return extract
 
 
+def save_extractor(fn: Callable, sample_shape, path: str,
+                   batch: int = 64) -> None:
+    """Serialize a feature extractor to a self-contained artifact.
+
+    ``fn`` is any jax-traceable ``(batch, H, W, C) -> (batch, D)`` callable
+    (e.g. an Inception network with pretrained weights closed over as
+    constants).  It is traced at a fixed batch and written via jax.export
+    (StableHLO), so the artifact loads without the defining code —
+    the escape hatch that gets TRUE Inception FID into environments that
+    have weights but not this module's dependencies.
+    """
+    from jax import export as jax_export
+
+    spec = jax.ShapeDtypeStruct((batch,) + tuple(sample_shape), jnp.float32)
+    exp = jax_export.export(jax.jit(fn))(spec)
+    with open(path, "wb") as f:
+        f.write(exp.serialize())
+
+
+def load_extractor(path: str) -> Callable:
+    """Load a :func:`save_extractor` artifact as an extractor callable
+    (``--fid_extractor PATH`` in the test CLI).
+
+    The serialized function has a fixed traced batch; inputs are fed in
+    chunks of that batch (the final chunk zero-padded and trimmed), so the
+    returned callable accepts any N.
+    """
+    from jax import export as jax_export
+
+    with open(path, "rb") as f:
+        exp = jax_export.deserialize(f.read())
+    (aval,) = exp.in_avals
+    fixed_batch = aval.shape[0]
+    sample_shape = tuple(aval.shape[1:])
+
+    def extract(images) -> np.ndarray:
+        images = np.asarray(images, dtype=np.float32)
+        if images.shape[1:] != sample_shape:
+            raise ValueError(
+                "extractor %s was traced for %s images, got %s"
+                % (path, sample_shape, images.shape[1:]))
+        outs = []
+        for i in range(0, len(images), fixed_batch):
+            chunk = images[i:i + fixed_batch]
+            n = len(chunk)
+            if n < fixed_batch:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((fixed_batch - n,) + sample_shape,
+                                     np.float32)])
+            out = np.asarray(exp.call(jnp.asarray(chunk)))
+            outs.append(out[:n])
+        return np.concatenate(outs, axis=0)
+
+    return extract
+
+
 def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     """d^2 = |mu1-mu2|^2 + Tr(S1 + S2 - 2 sqrt(S1 S2))."""
     diff = mu1 - mu2

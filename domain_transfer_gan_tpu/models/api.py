@@ -51,6 +51,8 @@ class _CycleGANBase:
                  rng: Optional[jax.Array] = None, image_size: Optional[int] = None):
         self.opt = opt
         self.old_lr = opt.lr
+        self.old_lr_d = opt.lr / 5.0   # D optimizers start at lr/5
+        #                                (reference model.py:112-114,384-389)
         self.epoch = opt.epoch_count
         self.training = True
         seed = opt.seed if opt.seed is not None else 0
@@ -99,12 +101,31 @@ class _CycleGANBase:
             z_B = z_B.reshape(z_B.shape[0], -1)
         return self._apply("netG_A_B", _as_jnp(real_A), z_B)
 
-    # -- lr schedule (reference model.py:282-291) -----------------------
+    # -- lr schedule (reference model.py:282-291, 735-748) --------------
     def update_learning_rate(self):
+        """Linear decay.  The reference sets EVERY optimizer's param groups
+        — including the discriminators' — to the full decayed lr, so D's
+        initial /5 discount vanishes the moment decay starts (quirk Q11).
+        That is the default here; --d_lr_mode ratio keeps D at lr/5 of the
+        decayed schedule instead."""
         lrd = self.opt.lr / self.opt.niter_decay
         lr = self.old_lr - lrd
         print("update learning rate: %f -> %f" % (self.old_lr, lr))
         self.old_lr = lr
+        if getattr(self.opt, "d_lr_mode", "reference") == "ratio":
+            self.old_lr_d = lr / 5.0
+        else:
+            self.old_lr_d = lr
+
+    def _derive_lr_d(self):
+        """Recompute old_lr_d from a restored old_lr (checkpoints predate
+        the split D schedule): old_lr < opt.lr iff at least one
+        update_learning_rate call happened, i.e. decay has started."""
+        decayed = self.old_lr < self.opt.lr
+        if getattr(self.opt, "d_lr_mode", "reference") == "ratio" or not decayed:
+            self.old_lr_d = self.old_lr / 5.0 if decayed else self.opt.lr / 5.0
+        else:
+            self.old_lr_d = self.old_lr
 
     # -- mode toggles ---------------------------------------------------
     def eval(self):
@@ -154,27 +175,26 @@ class _CycleGANBase:
         Backend per --ckpt_backend: 'flax' single-file bytes (default) or
         'orbax' checkpoint directories."""
         chk_path = os.path.join(self.opt.expr_dir, chk_name)
+        payload = self._ckpt_payload()
         if jax.process_count() > 1:
             # multi-host: tensor-sharded params/moments span non-addressable
             # devices — gather every leaf to the host before serializing
-            # (parallel.multihost.to_host is a no-op for replicated leaves)
+            # (parallel.multihost.to_host is a no-op for replicated leaves);
+            # the gathered host tree then goes through the SAME backend
+            # dispatch below, so --ckpt_backend orbax + async_save are
+            # honored in multi-host runs too
             from ..parallel.multihost import to_host
-            save_payload = jax.tree_util.tree_map(to_host,
-                                                  self._ckpt_payload())
-            with open(chk_path, "wb") as f:
-                f.write(serialization.to_bytes(save_payload))
-            return
+            payload = jax.tree_util.tree_map(to_host, payload)
         if getattr(self.opt, "ckpt_backend", "flax") == "orbax":
-            self._orbax().save(chk_path, self._ckpt_payload(),
-                               async_save=async_save)
+            self._orbax().save(chk_path, payload, async_save=async_save)
             return
         if async_save:
             if not hasattr(self, "_async_ckpt"):
                 from ..utils.checkpoint import AsyncCheckpointer
                 self._async_ckpt = AsyncCheckpointer()
-            self._async_ckpt.save(chk_path, self._ckpt_payload())
+            self._async_ckpt.save(chk_path, payload)
             return
-        payload = jax.device_get(self._ckpt_payload())
+        payload = jax.device_get(payload)
         with open(chk_path, "wb") as f:
             f.write(serialization.to_bytes(payload))
 
@@ -205,17 +225,27 @@ class _CycleGANBase:
             try:
                 payload = self._orbax().restore(chk_path,
                                                 self._ckpt_payload())
-            except Exception:
-                payload = self._orbax().restore(
-                    chk_path, alt_target(self._ckpt_payload()))
+            except Exception as first:
+                # orbax exposes no cheap structure probe; retry with the
+                # alternate EMA/non-EMA target but chain the original error
+                # so a genuinely corrupt checkpoint isn't masked by the
+                # second attempt's structure mismatch
+                try:
+                    payload = self._orbax().restore(
+                        chk_path, alt_target(self._ckpt_payload()))
+                except Exception as second:
+                    raise second from first
         else:
             with open(chk_path, "rb") as f:
                 data = f.read()
-            try:
-                payload = serialization.from_bytes(self._ckpt_payload(), data)
-            except ValueError:
-                payload = serialization.from_bytes(
-                    alt_target(self._ckpt_payload()), data)
+            # inspect the serialized structure for the 'ema' key (instead
+            # of a blind retry) so --ema on/off mismatches are resolved
+            # deliberately and real corruption surfaces as itself
+            raw = serialization.msgpack_restore(data)
+            target = self._ckpt_payload()
+            if ("ema" in raw) != ("ema" in target):
+                target = alt_target(target)
+            payload = serialization.from_state_dict(target, raw)
         ema = payload.get("ema", {})
         if self.state.ema and not ema:
             # this config tracks EMA but the checkpoint predates it: seed
@@ -231,6 +261,7 @@ class _CycleGANBase:
             step=jnp.asarray(payload["step"], jnp.int32))
         self.old_lr = float(payload["old_lr"])
         self.epoch = int(payload["epoch"])
+        self._derive_lr_d()
 
     # -- shared generation helpers --------------------------------------
     def generate_multi(self, real_A, multi_prior_z_B):
@@ -283,7 +314,8 @@ class StochCycleGAN(_CycleGANBase):
                 prior_z_B = prior_z_B.reshape(prior_z_B.shape[0], -1)
         self.state, losses, visuals, gnorms = self._train_step(
             self.state, real_A, real_B, prior_z_B,
-            jnp.float32(self.old_lr), self.next_key())
+            jnp.float32(self.old_lr), jnp.float32(self.old_lr_d),
+            self.next_key())
         order = ["D_A", "G_A", "Cyc_A", "D_B", "G_B", "Cyc_B",
                  "P_t_A", "P_f_A", "P_t_B", "P_f_B"]
         losses = OrderedDict((k, losses[k]) for k in order)
@@ -359,7 +391,8 @@ class AugmentedCycleGAN(_CycleGANBase):
                 prior_z_B = prior_z_B.reshape(prior_z_B.shape[0], -1)
         self.state, losses, visuals, gnorms = self._train_step(
             self.state, real_A, real_B, prior_z_B,
-            jnp.float32(self.old_lr), self.next_key())
+            jnp.float32(self.old_lr), jnp.float32(self.old_lr_d),
+            self.next_key())
         order = ["D_A", "G_A", "Cyc_A", "Cyc_z_B", "KLD_z_B", "D_B", "G_B",
                  "Cyc_B", "D_z_B", "P_t_A", "P_f_A", "P_t_B", "P_f_B"]
         losses = OrderedDict((k, losses[k]) for k in order)
@@ -387,7 +420,8 @@ class AugmentedCycleGAN(_CycleGANBase):
                 prior_z_B = prior_z_B.reshape(prior_z_B.shape[0], -1)
         self.state, losses = self._sup_step(
             self.state, real_A, real_B, prior_z_B,
-            jnp.float32(self.old_lr), self.next_key())
+            jnp.float32(self.old_lr), jnp.float32(self.old_lr_d),
+            self.next_key())
         order = ["S_A", "S_B", "KLD_z_B", "D_z_B", "gnorm_G_A_B",
                  "gnorm_G_B_A", "gnorm_E_B", "gnorm_D_z_B"]
         return OrderedDict((k, losses[k]) for k in order)

@@ -13,7 +13,11 @@ Semantics preserved exactly:
 - same z sample in both phases (the reparametrized posterior is computed with
   one eps and reused; reference computes it once and retains the graph),
 - stop_gradient in the D phase where the reference detaches,
-- per-network torch-style clipping before Adam, D lr = lr/5,
+- per-network torch-style clipping before Adam.  The D learning rate is its
+  OWN dynamic scalar (`lr_d`): the reference initializes D optimizers at
+  lr/5 (model.py:112-114,384-389) but update_learning_rate later sets every
+  optimizer — including D — to the full decayed lr (model.py:282-291,
+  735-748, quirk Q11); models/api.py owns that schedule,
 - batch-norm running stats updated once per reference-forward, in reference
   order (training-mode outputs never depend on running stats),
 - the phase-0 generator/encoder forward runs exactly ONCE: jax.vjp keeps its
@@ -64,6 +68,18 @@ def _dropout_rngs(key, use_dropout):
     return {"dropout": key} if use_dropout else None
 
 
+def flat2d(x):
+    """Collapse a discriminator prediction map to (B, -1).
+
+    Numerics-preserving: the GAN criteria mean-reduce over all elements and
+    log-sigmoid is elementwise, so losses and gradients are bit-identical.
+    It keeps the loss-path tensors free of spatial dims, which stops GSPMD
+    from trying to space-shard the [B,1,1,1] global logit of the edges
+    discriminator on a data x space mesh (the involuntary-full-remat
+    reshard warning in the dp x sp dryrun)."""
+    return x.reshape((x.shape[0], -1))
+
+
 # ---------------------------------------------------------------------------
 # StochCycleGAN (also cycle_gan via ignore_noise)  — reference model.py:126-208
 # ---------------------------------------------------------------------------
@@ -78,10 +94,10 @@ def make_score_pair(nets, concat_d: bool):
             pred, st = apply_net(nets[name], d_params, d_stats,
                                  jnp.concatenate([fake, real], axis=0))
             pf, pt = jnp.split(pred, 2, axis=0)
-            return pf, pt, st
+            return flat2d(pf), flat2d(pt), st
         pf, st = apply_net(nets[name], d_params, d_stats, fake)
         pt, st = apply_net(nets[name], d_params, st, real)
-        return pf, pt, st
+        return flat2d(pf), flat2d(pt), st
     return score_pair
 
 
@@ -96,7 +112,7 @@ def make_stoch_train_step(nets, cfg: TrainConfig, ignore_noise: bool):
     # efficiency.  Batch norm couples samples, so fall back there.
     concat_d = cfg.norm != "batch"
 
-    def step(state: TrainState, real_A, real_B, prior_z, lr, rng):
+    def step(state: TrainState, real_A, real_B, prior_z, lr, lr_d, rng):
         p, stats = state.params, state.batch_stats
         k_drop0, k_drop1, k_poolA, k_poolB = jax.random.split(rng, 4)
         if ignore_noise:
@@ -149,7 +165,6 @@ def make_stoch_train_step(nets, cfg: TrainConfig, ignore_noise: bool):
 
         d_params = {k: p[k] for k in ("netD_A", "netD_B")}
         d_grads, d_aux = jax.grad(d_loss_fn, has_aux=True)(d_params)
-        lr_d = lr / 5.0
         new_p, new_opt, gnorms = dict(p), dict(state.opt_state), {}
         for k in ("netD_A", "netD_B"):
             new_p[k], new_opt[k], gnorms["gnorm_" + k[3:]] = apply_net_update(
@@ -163,10 +178,10 @@ def make_stoch_train_step(nets, cfg: TrainConfig, ignore_noise: bool):
             fb, fa = fakes
             pf_A, stA = apply_net(nets["netD_A"], new_p["netD_A"],
                                   d_aux["st_D_A"], fa)
-            loss_G_A = gan(pf_A, True)
+            loss_G_A = gan(flat2d(pf_A), True)
             pf_B, stB = apply_net(nets["netD_B"], new_p["netD_B"],
                                   d_aux["st_D_B"], fb)
-            loss_G_B = gan(pf_B, True)
+            loss_G_B = gan(flat2d(pf_B), True)
             rngs1 = _dropout_rngs(k_drop1, cfg.use_dropout)
             rec_A, stGBA = apply_net(nets["netG_B_A"], g_params["netG_B_A"],
                                      st_GBA, fb, rngs=rngs1)
@@ -249,7 +264,7 @@ def make_aug_train_step(nets, cfg: TrainConfig):
             logvar_eff = logvar * 0.0
         return z, mu, logvar, logvar_eff, st
 
-    def step(state: TrainState, real_A, real_B, prior_z, lr, rng):
+    def step(state: TrainState, real_A, real_B, prior_z, lr, lr_d, rng):
         p, stats = state.params, state.batch_stats
         k_eps, k_drop0, k_drop1, k_poolA, k_poolB = jax.random.split(rng, 5)
         eps_post = jax.random.normal(k_eps, prior_z.shape, prior_z.dtype)
@@ -319,7 +334,6 @@ def make_aug_train_step(nets, cfg: TrainConfig):
         d_names = ("netD_A", "netD_B", "netD_z_B")
         d_params = {k: p[k] for k in d_names}
         d_grads, d_aux = jax.grad(d_loss_fn, has_aux=True)(d_params)
-        lr_d = lr / 5.0
         new_p, new_opt, gnorms = dict(p), dict(state.opt_state), {}
         for k in d_names:
             new_p[k], new_opt[k], gnorms["gnorm_" + k[3:]] = apply_net_update(
@@ -334,10 +348,10 @@ def make_aug_train_step(nets, cfg: TrainConfig):
 
             pf_A, stA = apply_net(nets["netD_A"], new_p["netD_A"],
                                   d_aux["st_D_A"], fa)
-            loss_G_A = gan(pf_A, True)
+            loss_G_A = gan(flat2d(pf_A), True)
             pf_B, stB = apply_net(nets["netD_B"], new_p["netD_B"],
                                   d_aux["st_D_B"], fb)
-            loss_G_B = gan(pf_B, True)
+            loss_G_B = gan(flat2d(pf_B), True)
             pz_post, stZ = apply_net(nets["netD_z_B"], new_p["netD_z_B"],
                                      d_aux["st_D_z"], pz)
             loss_G_z_B = gan(pz_post, True)
@@ -436,7 +450,7 @@ def make_aug_supervised_step(nets, cfg: TrainConfig):
     z_gan = bool(cfg.z_gan)
     enc_A_B = bool(cfg.enc_A_B)
 
-    def step(state: TrainState, real_A, real_B, prior_z, lr, rng):
+    def step(state: TrainState, real_A, real_B, prior_z, lr, lr_d, rng):
         p, stats = state.params, state.batch_stats
         k_eps, k_drop = jax.random.split(rng)
         eps_post = jax.random.normal(k_eps, prior_z.shape, prior_z.dtype)
@@ -466,7 +480,6 @@ def make_aug_supervised_step(nets, cfg: TrainConfig):
             return loss, dict(loss_D_z_B=loss, st_D_z=stZ)
 
         dz_grads, d_aux = jax.grad(d_loss_fn, has_aux=True)(p["netD_z_B"])
-        lr_d = lr / 5.0
         new_p, new_opt, gnorms = dict(p), dict(state.opt_state), {}
         new_p["netD_z_B"], new_opt["netD_z_B"], gnorms["gnorm_D_z_B"] = \
             apply_net_update(tx, p["netD_z_B"], state.opt_state["netD_z_B"],

@@ -200,16 +200,19 @@ class DataParallel:
         self.space_axis = space_axis if self._spatial else None
         self.tensor_axis = tensor_axis if self._tensor else None
         if self._tensor:
-            # .replace (not an explicit constructor) so any future
-            # TrainState field defaults to replicated instead of being
-            # silently dropped
-            st = replicate_state(self.mesh, model.state)
-            model.state = st.replace(
-                params=shard_params(self.mesh, model.state.params,
-                                    tensor_axis),
-                opt_state=shard_params(self.mesh, model.state.opt_state,
-                                       tensor_axis),
-                ema=shard_params(self.mesh, model.state.ema, tensor_axis))
+            # Shard params/opt_state/ema DIRECTLY to their final placement:
+            # tensor parallelism exists for configs whose weights + Adam
+            # moments exceed per-chip HBM, so they must never pass through
+            # a transient fully-replicated copy.  Only the small remaining
+            # fields (batch_stats, pools, step — and, via .replace on an
+            # emptied state, any future TrainState field) are replicated.
+            st = model.state
+            rep = replicate_state(self.mesh,
+                                  st.replace(params={}, opt_state={}, ema={}))
+            model.state = rep.replace(
+                params=shard_params(self.mesh, st.params, tensor_axis),
+                opt_state=shard_params(self.mesh, st.opt_state, tensor_axis),
+                ema=shard_params(self.mesh, st.ema, tensor_axis))
         else:
             model.state = replicate_state(self.mesh, model.state)
 

@@ -18,15 +18,23 @@ def save_results(expr_dir: str, results_dict: dict):
 
 
 def copy_scripts_to_folder(expr_dir: str, src_dir: str = None):
-    """Snapshot the framework sources into the experiment dir
-    (reference train.py:29-32 copied all *.py next to train.py)."""
+    """Snapshot the framework sources into the experiment dir.
+
+    The reference (train.py:29-32) copies its flat directory of *.py files
+    straight into expr_dir, leaving a runnable-in-place snapshot with
+    sources at the expr_dir root.  The package-shaped equivalent here:
+    the package's top-level modules land flat in expr_dir (*.py at the
+    root, the reference layout) and subpackages keep their tree beside
+    them, so ``expr_dir`` is importable as a snapshot the same way.
+    """
     if src_dir is None:
         src_dir = os.path.dirname(os.path.dirname(os.path.realpath(__file__)))
-    dst = os.path.join(expr_dir, "src_snapshot")
-    os.makedirs(dst, exist_ok=True)
-    for f in glob.glob(os.path.join(src_dir, "**", "*.py"), recursive=True):
+    for f in glob.glob(os.path.join(src_dir, "*.py")):
+        shutil.copy(f, expr_dir)
+    for f in glob.glob(os.path.join(src_dir, "*", "**", "*.py"),
+                       recursive=True):
         rel = os.path.relpath(f, src_dir)
-        out = os.path.join(dst, rel)
+        out = os.path.join(expr_dir, rel)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         shutil.copy(f, out)
 

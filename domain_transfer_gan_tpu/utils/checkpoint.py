@@ -72,22 +72,69 @@ class OrbaxCheckpointer:
     def __init__(self):
         import orbax.checkpoint as ocp
         self._ocp = ocp
-        self._sync = ocp.StandardCheckpointer()
+        self._sync = ocp.Checkpointer(ocp.StandardCheckpointHandler())
         self._async = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        self._procs = []  # multi-host: in-flight subprocess writers
 
     def save(self, path: str, payload, async_save: bool = False) -> None:
         path = os.path.abspath(path)
+        if jax.process_count() > 1:
+            self._subprocess_save(path, payload, async_save)
+            return
+        ckpt = self._async if async_save else self._sync
+        ckpt.save(path, args=self._ocp.args.StandardSave(payload), force=True)
+
+    def _subprocess_save(self, path: str, payload, async_save: bool) -> None:
+        """Multi-host: write through a fresh single-process interpreter.
+
+        models.api gathers every leaf to host numpy before dispatching
+        here, so the payload is fully process-local — but orbax's
+        NumpyHandler only writes array data on global process 0
+        (type_handlers.py gates ``_background_serialize`` on
+        ``process_index() == 0``), so a rank > 0 process cannot write a
+        numpy payload in-process no matter the MultiprocessingOptions.
+        A subprocess (utils._orbax_write) has ``jax.process_count() == 1``
+        and writes like any single-host save; each rank durably writes its
+        own copy with zero cross-rank coordination (same per-rank
+        discipline as the flax byte path / cli.train's .workerN scratch
+        dirs).
+        """
+        import pickle
+        import subprocess
+        import sys
+        staging = path + ".staging.pkl"
+        with open(staging, "wb") as f:
+            pickle.dump(jax.device_get(payload), f,
+                        protocol=pickle.HIGHEST_PROTOCOL)
+        pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+        # drop any inherited cluster spec: the child must be single-process
+        for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                  "JAX_PROCESS_ID", "XLA_FLAGS"):
+            env.pop(k, None)
+        proc = subprocess.Popen(
+            [sys.executable, "-m",
+             "domain_transfer_gan_tpu.utils._orbax_write", staging, path],
+            env=env)
         if async_save:
-            self._async.save(path,
-                             args=self._ocp.args.StandardSave(payload),
-                             force=True)
-        else:
-            self._sync.save(path, payload, force=True)
+            self._procs.append((proc, path))
+            return
+        if proc.wait() != 0:
+            raise RuntimeError("orbax writer subprocess failed (rc %d) "
+                               "for %s" % (proc.returncode, path))
 
     def restore(self, path: str, template):
         # restore against the template's structure/shapes/dtypes
-        return self._sync.restore(os.path.abspath(path),
-                                  jax.device_get(template))
+        return self._sync.restore(
+            os.path.abspath(path),
+            args=self._ocp.args.StandardRestore(jax.device_get(template)))
 
     def wait(self) -> None:
         self._async.wait_until_finished()
+        procs, self._procs = self._procs, []
+        for proc, path in procs:
+            if proc.wait() != 0:
+                raise RuntimeError("orbax writer subprocess failed (rc %d) "
+                                   "for %s" % (proc.returncode, path))

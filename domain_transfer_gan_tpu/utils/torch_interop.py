@@ -349,10 +349,13 @@ def import_torch_checkpoint(path: str, model,
         for tk, path, tf in pleaves:
             cur = _get(new_params[net], path)
             val = _T2J[tf](sd[tk]).astype(np.float32)
-            assert cur is not None and cur.shape == val.shape, (
-                "shape mismatch importing %s -> %s: ckpt %s vs model %s"
-                % (tk, "/".join(path), val.shape,
-                   None if cur is None else cur.shape))
+            if cur is None or cur.shape != val.shape:
+                # user-input validation (wrong --ngf/--norm for this
+                # checkpoint), so a real error — not an assert that -O strips
+                raise ValueError(
+                    "shape mismatch importing %s -> %s: ckpt %s vs model %s"
+                    % (tk, "/".join(path), val.shape,
+                       None if cur is None else cur.shape))
             _set(new_params[net], path, jnp.asarray(val))
         for tk, path in bleaves:
             val = sd[tk].astype(np.float32)
@@ -421,8 +424,9 @@ def _import_adam_group(osd, nets, ordered, params, opt_state, report,
                 m = _T2J[tf](_to_np(ent["exp_avg"])).astype(np.float32)
                 v = _T2J[tf](_to_np(ent["exp_avg_sq"])).astype(np.float32)
                 count = max(count, int(_to_np(ent["step"])))
-            assert m.shape == template.shape, (
-                "optimizer shape mismatch at %s" % tk)
+            if m.shape != template.shape:
+                raise ValueError("optimizer shape mismatch at %s: ckpt %s "
+                                 "vs model %s" % (tk, m.shape, template.shape))
             _set(mu, path, jnp.asarray(m))
             _set(nu, path, jnp.asarray(v))
         old = opt_state[net]
@@ -476,7 +480,12 @@ def export_torch_checkpoint(model, path: str) -> List[str]:
         report.append("exported %s: %d tensors" % (net, len(sd)))
 
     for opt_key, nets in OPTIMIZER_GROUPS[cfg.model].items():
-        lr = model.old_lr / (5.0 if "D" in opt_key else 1.0)
+        # D groups carry their own schedule (lr/5 until decay starts, the
+        # full decayed lr after — reference model.py:282-291,735-748); the
+        # model tracks it in old_lr_d so a mid-decay export resumes in the
+        # reference at exactly the lr the reference itself would have.
+        lr = (getattr(model, "old_lr_d", model.old_lr / 5.0)
+              if "D" in opt_key else model.old_lr)
         state: Dict[int, Any] = {}
         pid = 0
         for net in nets:

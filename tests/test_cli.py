@@ -49,6 +49,10 @@ def test_train_artifact_contract(trained_run):
         assert os.path.isdir(path)
     assert os.path.exists(os.path.join(expr, "vis_latest", "cycle.png"))
     assert os.path.exists(os.path.join(expr, "vis_latest", "multi.png"))
+    # source snapshot: *.py flat at the expr_dir root (the reference's
+    # train.py:29-32 layout), subpackage tree beside them
+    assert os.path.exists(os.path.join(expr, "config.py"))
+    assert os.path.exists(os.path.join(expr, "cli", "train.py"))
 
 
 def test_test_cli_mse_on_checkpoint(trained_run, capsys):
@@ -113,3 +117,26 @@ def test_check_numerics_flag_parses():
                                      "--checkpoints_dir", "/tmp/cn_flag",
                                      "--check_numerics", "1"])
     assert opt.check_numerics == 1
+
+
+def test_supervised_train_driver(tmp_path, capsys):
+    """--supervised end-to-end through the real driver: the supervised step
+    runs each iteration with the SAME prior_z_B the unsupervised step drew
+    (reference train.py:211-216 passes one draw to both — cli/train.py
+    draws it once in the loop), and the supervised losses are logged."""
+    root = tmp_path / "ds"
+    ckpt = tmp_path / "ckpt"
+    write_synthetic_dataset(str(root), n_train=24, n_test=8, size=64)
+    train_model(argv=[
+        "--dataroot", str(root), "--name", "sup_e2e",
+        "--checkpoints_dir", str(ckpt), "--grid_size", "64",
+        "--batchSize", "8", "--ngf", "4", "--nef", "4", "--ndf", "8",
+        "--nlatent", "8", "--niter", "1", "--niter_decay", "0",
+        "--print_freq", "8", "--display_freq", "64",
+        "--save_epoch_freq", "1", "--use_pallas", "0", "--seed", "4",
+        "--dev_size", "8", "--num_devices", "1",
+        "--supervised", "--sup_frac", "0.5"])
+    out = capsys.readouterr().out
+    assert "#supervised images = 8" in out
+    assert "S_A" in out and "S_B" in out  # supervised losses logged
+    assert os.path.exists(os.path.join(str(ckpt), "sup_e2e", "latest"))

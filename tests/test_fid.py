@@ -1,6 +1,7 @@
 """Proxy-FID sanity tests."""
 
 import numpy as np
+import pytest
 
 from domain_transfer_gan_tpu.eval import compute_fid, frechet_distance
 
@@ -29,6 +30,40 @@ def test_compute_fid_orders_distributions():
     fid_close = compute_fid(real, close, ext)
     fid_far = compute_fid(real, far, ext)
     assert abs(fid_same) < fid_close < fid_far
+
+
+def test_extractor_save_load_roundtrip(tmp_path):
+    """--fid_extractor escape hatch: a feature extractor serialized with
+    save_extractor (jax.export / StableHLO, weights baked in) reloads as a
+    callable producing IDENTICAL features — including on a batch that is
+    not a multiple of the traced batch (pad+trim path)."""
+    import jax
+    import jax.numpy as jnp
+    from domain_transfer_gan_tpu.eval import random_feature_extractor
+    from domain_transfer_gan_tpu.eval.fid import (_RandomFeatureNet,
+                                                  load_extractor,
+                                                  save_extractor)
+
+    net = _RandomFeatureNet(width=4)
+    variables = net.init(jax.random.PRNGKey(9),
+                         jnp.zeros((1, 16, 16, 3), jnp.float32))
+    fn = lambda x: net.apply(variables, x)
+    path = str(tmp_path / "extractor.stablehlo")
+    save_extractor(fn, (16, 16, 3), path, batch=8)
+
+    ext = load_extractor(path)
+    rng = np.random.RandomState(0)
+    imgs = rng.uniform(-1, 1, (13, 16, 16, 3)).astype(np.float32)  # 13 % 8
+    got = ext(imgs)
+    want = np.asarray(fn(jnp.asarray(imgs)))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    with pytest.raises(ValueError):
+        ext(rng.uniform(-1, 1, (4, 8, 8, 3)).astype(np.float32))
+
+    # the serialized extractor plugs into compute_fid unchanged
+    fid = compute_fid(imgs, imgs[::-1].copy(), ext)
+    assert abs(fid) < 1e-4
 
 
 def test_eval_fid_B_with_model():

@@ -33,6 +33,10 @@ WORKER = textwrap.dedent("""
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 4)
     jax.config.update("jax_default_matmul_precision", "highest")
+    # NO persistent compile cache here: with a cache, one rank can hit it
+    # and reach the gloo rendezvous minutes before its still-compiling
+    # peer, blowing gloo's fixed 30s KV timeout.  Symmetric fresh compiles
+    # keep the ranks in lockstep.
     from domain_transfer_gan_tpu.parallel import DataParallel, multihost
     multihost.initialize("127.0.0.1:%d" % port, nprocs, rank)
     assert jax.process_count() == nprocs
@@ -80,12 +84,55 @@ WORKER = textwrap.dedent("""
                                                tp.state.params))):
         assert abs(float(np.mean(a)) - float(np.mean(b))) < 1e-6
 
+    # --ckpt_backend orbax is honored by the multi-host save path: flip the
+    # SAME already-compiled tensor-parallel model's backend (a third
+    # model + train-step compile blew the worker timeout on a contended
+    # core) and save again.  In multi-host runs the orbax backend is
+    # process-LOCAL: the payload is host-gathered numpy and each rank
+    # writes its own copy through a fresh single-process interpreter
+    # (utils/_orbax_write — orbax's NumpyHandler only writes array data on
+    # global process 0 in-process), rank-distinct names here mirroring the
+    # flax sub-test / cli.train's per-rank expr dirs.
+    tp.opt.ckpt_backend = "orbax"
+    orbax_dir = os.path.join(cfg2.expr_dir, "tp_orbax_rank%d" % rank)
+    tp.save("tp_orbax_rank%d" % rank)
+    tp.wait_for_saves()
+    assert os.path.isdir(orbax_dir), "orbax backend must write a directory"
+    cfg3 = TrainConfig(model="aug_cycle_gan", grid_size=64, ngf=4, nef=4,
+                       ndf=4, nlatent=8, batchSize=8, use_pallas=False,
+                       monitor_gnorm=True, seed=1, ckpt_backend="orbax")
+    cfg3.expr_dir = cfg2.expr_dir
+    reload3 = create_model(cfg3, testing=True, image_size=64)  # no compile
+    reload3.load(orbax_dir)
+    for a, b in zip(jax.tree_util.tree_leaves(reload3.state.params),
+                    jax.tree_util.tree_leaves(
+                        jax.tree_util.tree_map(multihost.to_host,
+                                               tp.state.params))):
+        assert abs(float(np.mean(a)) - float(np.mean(b))) < 1e-6
+
     if multihost.is_primary():
         out = {k: float(v) for k, v in l2.items()}
         out["fake_B_mean"] = float(np.mean(fake_B))
         out["tp_D_A"] = float(l3["D_A"])
+        out["orbax_ok"] = 1.0
         with open(outfile, "w") as f:
             json.dump(out, f)
+
+    # leave together: without a final rendezvous, per-rank wall-time skew on
+    # a contended core lets one rank exit minutes early and time out the
+    # distributed runtime's shutdown barrier on the other.  File-based (the
+    # ranks share /tmp) rather than a collective, whose own gloo timeout the
+    # same skew would blow.
+    import time
+    with open(outfile + ".done%d" % rank, "w") as f:
+        f.write("1")
+    for r in range(nprocs):
+        while not os.path.exists(outfile + ".done%d" % r):
+            time.sleep(1)
+    # hit the distributed shutdown barrier NOW, while the ranks are aligned
+    # — leaving it to interpreter teardown lets slow per-rank cleanup
+    # (orbax async threads, array GC) skew past the barrier deadline
+    jax.distributed.shutdown()
 """)
 
 
@@ -120,9 +167,21 @@ def test_two_process_matches_single(tmp_path):
         [sys.executable, str(worker), str(r), "2", str(port), str(outfile)],
         env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for r in (0, 1)]
-    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
-    for p, o in zip(procs, outs):
-        assert p.returncode == 0, "rank failed:\n" + o
+    try:
+        outs = [p.communicate(timeout=1500)[0].decode() for p in procs]
+    finally:
+        # a timed-out communicate leaves live workers behind — reap them
+        # or they starve every later compile on this core
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    # report every failed rank, not just the first: the root cause is often
+    # an exception on one rank whose atexit hits the shutdown barrier early
+    # and only *kills* the other — the first-failing output is the victim's
+    failed = [(r, o) for r, (p, o) in enumerate(zip(procs, outs))
+              if p.returncode != 0]
+    assert not failed, "\n\n".join(
+        f"=== rank {r} failed ===\n{o}" for r, o in failed)
 
     got = json.loads(outfile.read_text())
     for k, v in ref.items():
@@ -132,6 +191,7 @@ def test_two_process_matches_single(tmp_path):
                       float(np.mean(np.asarray(ref_visuals["fake_B"]))),
                       rtol=2e-3, atol=2e-4)
     assert np.isfinite(got["tp_D_A"])  # cross-host tensor parallelism ran
+    assert got["orbax_ok"] == 1.0  # multi-host orbax save/restore ran
 
 
 def test_initialize_rejects_partial_flags():

@@ -127,6 +127,34 @@ def test_data_tensor_parallel_matches_single():
         assert np.isfinite(float(v))
 
 
+def test_dp_sp_compile_clean_of_involuntary_remat(capfd):
+    """The dp x sp train-step compile must be free of GSPMD's 'Involuntary
+    full rematerialization' reshard warning (spmd_partitioner.cc): the
+    round-2 dryrun emitted it for a f32[B,1,1,1] broadcast in the step's
+    transpose — the spatially-shaped discriminator logit reaching the loss
+    mean.  models/steps.py flattens every D prediction to (B, N) before the
+    GAN criteria (flat2d, numerics-preserving), leaving nothing with a
+    space-shardable dim on the loss path.  Compile fresh (persistent cache
+    off so the partitioner actually runs) and assert a clean stderr."""
+    import jax as _jax
+
+    cache_dir = _jax.config.jax_compilation_cache_dir
+    _jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        dp = DataParallel(create_model(tiny_cfg(), testing=True),
+                          num_devices=8, spatial=2)
+        rng = np.random.RandomState(11)
+        A = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+        B = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+        losses, _, _ = dp.train_instance(A, B)
+        assert np.isfinite(float(losses["D_A"]))
+    finally:
+        _jax.config.update("jax_compilation_cache_dir", cache_dir)
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err[-2000:]
+    assert "spmd_partitioner" not in err, err[-2000:]
+
+
 def test_data_space_tensor_parallel_runs():
     """All three axes composed: 2x2x2 mesh, one full step, finite losses."""
     dp = DataParallel(create_model(tiny_cfg(), testing=True), num_devices=8,

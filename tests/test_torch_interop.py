@@ -363,6 +363,111 @@ def test_cross_framework_step_dynamics_parity(tmp_path):
                 (i, k, float(j_losses[k]), v)
 
 
+def test_cross_framework_decay_boundary_parity(tmp_path):
+    """Dynamics parity ACROSS the lr-decay boundary (Q11): the reference's
+    update_learning_rate sets every optimizer's param groups — including
+    D_A/D_B — to the full decayed lr (model.py:282-291,735-748), i.e. the
+    D /5 discount vanishes the moment decay starts.  One pre-decay step,
+    the decay, then two post-decay steps must track the torch reference:
+    post-decay the D lr jumps ~5x, so a framework that kept lr/5 (the
+    round-2 behavior) diverges in the D-dependent losses by step 3.
+
+    Uses the stoch variant (fewest nets -> fastest), niter_decay=2 so the
+    decayed lr is half of lr and the D jump is unmistakable (4e-5 -> 1e-4).
+    """
+    import itertools
+
+    import torch.nn.functional as F
+
+    nets = build_reference_nets(zdim=ZDIM, ngf=8, ndf=8, nef=8, seed=41,
+                                aug=False)
+    ckpt = reference_checkpoint(nets, aug=False, adam_steps=0)
+    path = str(tmp_path / "latest")
+    torch.save(ckpt, path)
+    cfg = _cfg("stoch_cycle_gan")
+    cfg.niter_decay = 2
+    model = create_model(cfg, testing=True)
+    import_torch_checkpoint(path, model)
+
+    rng = np.random.RandomState(47)
+    A = rng.uniform(-1, 1, (4, 3, 64, 64)).astype(np.float32)
+    B = rng.uniform(-1, 1, (4, 3, 64, 64)).astype(np.float32)
+    zs = [rng.randn(4, ZDIM).astype(np.float32) for _ in range(3)]
+
+    for net in nets.values():
+        net.train()
+    adam = lambda params, lr: torch.optim.Adam(params, lr=lr,
+                                               betas=(0.5, 0.999))
+    optG = adam(itertools.chain(nets["netG_A_B"].parameters(),
+                                nets["netG_B_A"].parameters()), 2e-4)
+    optD = adam(itertools.chain(nets["netD_A"].parameters(),
+                                nets["netD_B"].parameters()), 2e-4 / 5)
+
+    def torch_step(z2d):
+        tA, tB = torch.from_numpy(A), torch.from_numpy(B)
+        z = torch.from_numpy(z2d)[:, :, None, None]
+        mse, l1f = F.mse_loss, F.l1_loss
+        fake_B = nets["netG_A_B"](tA, z)
+        fake_A = nets["netG_B_A"](tB)
+        pa_f = nets["netD_A"](fake_A.detach())
+        pa_t = nets["netD_A"](tA)
+        d_a = 0.5 * (mse(pa_f, torch.zeros_like(pa_f))
+                     + mse(pa_t, torch.ones_like(pa_t)))
+        pb_f = nets["netD_B"](fake_B.detach())
+        pb_t = nets["netD_B"](tB)
+        d_b = 0.5 * (mse(pb_f, torch.zeros_like(pb_f))
+                     + mse(pb_t, torch.ones_like(pb_t)))
+        optD.zero_grad()
+        (d_a + d_b).backward()
+        for m in ("netD_A", "netD_B"):
+            torch.nn.utils.clip_grad_norm_(nets[m].parameters(), 500.0)
+        optD.step()
+        pa = nets["netD_A"](fake_A)
+        g_a = mse(pa, torch.ones_like(pa))
+        pb = nets["netD_B"](fake_B)
+        g_b = mse(pb, torch.ones_like(pb))
+        rec_A = nets["netG_B_A"](fake_B)
+        cyc_A = l1f(rec_A, tA)
+        rec_B = nets["netG_A_B"](fake_A, z)
+        cyc_B = l1f(rec_B, tB)
+        lg = g_a + g_b + cyc_A + cyc_B
+        optG.zero_grad()
+        lg.backward()
+        for m in ("netG_A_B", "netG_B_A"):
+            torch.nn.utils.clip_grad_norm_(nets[m].parameters(), 500.0)
+        optG.step()
+        return dict(D_A=float(d_a), D_B=float(d_b), G_A=float(g_a),
+                    G_B=float(g_b), Cyc_A=float(cyc_A), Cyc_B=float(cyc_B))
+
+    def torch_update_learning_rate(old_lr):
+        # the reference's update_learning_rate verbatim semantics
+        # (model.py:282-291): EVERY param group gets the decayed lr
+        lr = old_lr - 2e-4 / cfg.niter_decay
+        for g in optD.param_groups:
+            g["lr"] = lr
+        for g in optG.param_groups:
+            g["lr"] = lr
+        return lr
+
+    Aj = np.ascontiguousarray(np.transpose(A, (0, 2, 3, 1)))
+    Bj = np.ascontiguousarray(np.transpose(B, (0, 2, 3, 1)))
+    tols = [dict(rtol=2e-3, atol=2e-4),    # pre-decay forward parity
+            dict(rtol=3e-2, atol=3e-3),    # through 1 Adam update
+            dict(rtol=8e-2, atol=8e-3)]    # through 2, incl. the D lr jump
+    lr = 2e-4
+    for i, z2d in enumerate(zs):
+        if i == 1:  # cross the boundary after step 1
+            lr = torch_update_learning_rate(lr)
+            model.update_learning_rate()
+            assert np.isclose(model.old_lr, lr)
+            assert np.isclose(model.old_lr_d, lr)  # /5 discount gone
+        t_losses = torch_step(z2d)
+        j_losses = model.train_instance(Aj, Bj, z2d)[0]
+        for k, v in t_losses.items():
+            assert np.isclose(float(j_losses[k]), v, **tols[i]), \
+                (i, k, float(j_losses[k]), v)
+
+
 def test_cross_framework_step_dynamics_parity_stoch(tmp_path):
     """Same two-step dynamics parity for the stoch_cycle_gan variant
     (separate step implementation in models/steps.py: no E_B/D_z_B,

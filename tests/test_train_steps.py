@@ -145,6 +145,45 @@ def test_d_lr_is_fifth_of_g_lr():
     assert dD > 0
 
 
+def test_d_lr_decay_schedule_q11(tmp_path):
+    """Q11: the reference's update_learning_rate sets EVERY optimizer —
+    including D — to the full decayed lr (model.py:282-291,735-748), so D's
+    initial /5 discount exists only until decay starts.  Default mode is
+    reference-faithful; --d_lr_mode ratio keeps the /5 scaling.  Restoring
+    a checkpoint re-derives the D lr from old_lr on either side of the
+    decay boundary."""
+    cfg = tiny_cfg(model="stoch_cycle_gan", lr=1e-3, niter_decay=10)
+    m = create_model(cfg, testing=True)
+    assert np.isclose(m.old_lr_d, 1e-3 / 5)
+    m.update_learning_rate()
+    assert np.isclose(m.old_lr, 1e-3 - 1e-4)
+    assert np.isclose(m.old_lr_d, m.old_lr)  # discount gone at decay start
+
+    ratio = tiny_cfg(model="stoch_cycle_gan", lr=1e-3, niter_decay=10,
+                     d_lr_mode="ratio")
+    m2 = create_model(ratio, testing=True)
+    m2.update_learning_rate()
+    assert np.isclose(m2.old_lr_d, m2.old_lr / 5)
+
+    # checkpoint round-trips re-derive lr_d: post-decay -> full lr,
+    # pre-decay -> lr/5
+    cfg.expr_dir = str(tmp_path)
+    m.opt.expr_dir = str(tmp_path)
+    m.save("decayed")
+    m3 = create_model(tiny_cfg(model="stoch_cycle_gan", lr=1e-3,
+                               niter_decay=10, seed=5), testing=True)
+    m3.load(str(tmp_path / "decayed"))
+    assert np.isclose(m3.old_lr_d, m3.old_lr) and m3.old_lr < 1e-3
+    m4 = create_model(tiny_cfg(model="stoch_cycle_gan", lr=1e-3,
+                               niter_decay=10, seed=6), testing=True)
+    m4.opt.expr_dir = str(tmp_path)
+    m4.save("fresh")
+    m5 = create_model(tiny_cfg(model="stoch_cycle_gan", lr=1e-3,
+                               niter_decay=10, seed=7), testing=True)
+    m5.load(str(tmp_path / "fresh"))
+    assert np.isclose(m5.old_lr_d, 1e-3 / 5)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = tiny_cfg()
     cfg.expr_dir = str(tmp_path)
