@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.convs import conv_transpose2d_torch, reflect_pad2d
+from ..parallel.hints import pin_batch_only
 from .blocks import CINResnetBlock, ResnetBlock
 from .init import conv_kernel_init, torch_linear_init
 from .norms import BatchNorm1d, BatchNorm2d, CondInstanceNorm, InstanceNorm
@@ -257,6 +258,9 @@ class DiscriminatorEdges(nn.Module):
         h = nl(4 * self.ndf, "nl2")(h, train)
         h = _conv(4 * self.ndf, 3, 2, 1, True, self.init_scheme, self.dtype, "conv3")(h)
         h = nl(4 * self.ndf, "nl3")(h, train)
+        # On a dp x sp mesh, keep the tiny 4x4 head (and its backward) off
+        # the space axis — see parallel/hints.py.  Identity otherwise.
+        h = pin_batch_only(h)
         h = _conv(1, 4, 1, 0, True, self.init_scheme, self.dtype, "conv4")(h)
         if self.use_sigmoid:
             h = nn.sigmoid(h)
@@ -365,6 +369,10 @@ class LatentEncoder(nn.Module):
         h = nr(4 * self.nef, "nr2")(h, train)
         h = _conv(8 * self.nef, 3, 2, 1, False, self.init_scheme, self.dtype, "conv3")(h)
         h = nr(8 * self.nef, "nr3")(h, train)
+        # On a dp x sp mesh, keep the head (4x4 -> 1x1 collapse, norm, mu/
+        # logvar convs — and their backward) off the space axis; see
+        # parallel/hints.py.  Identity otherwise.
+        h = pin_batch_only(h)
         h = _conv(8 * self.nef, 4, 1, 0, False, self.init_scheme, self.dtype, "conv4")(h)
         h = nr(8 * self.nef, "nr4")(h, train)
         if self.adaptive_pool and (h.shape[1] > 1 or h.shape[2] > 1):

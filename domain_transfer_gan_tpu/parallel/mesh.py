@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .hints import spatial_hints
+
 
 def _put(x, sh: NamedSharding):
     """device_put that also works on a multi-process (multi-host) mesh.
@@ -229,13 +231,20 @@ class DataParallel:
         real_A, real_B = self.shard(real_A), self.shard(real_B)
         if prior_z_B is not None:
             prior_z_B = self.shard(prior_z_B)
-        return self.model.train_instance(real_A, real_B, prior_z_B)
+        # spatial_hints covers the first-call jit TRACE: with a space axis
+        # active, DiscriminatorEdges pins its 4x4 head to batch-only
+        # sharding (parallel/hints.py) so the dp x sp compile stays free of
+        # GSPMD involuntary-remat resharding.  No-op without spatial.
+        with spatial_hints(self.mesh, self.axis, self.space_axis):
+            return self.model.train_instance(real_A, real_B, prior_z_B)
 
     def supervised_train_instance(self, real_A, real_B, prior_z_B=None):
         real_A, real_B = self.shard(real_A), self.shard(real_B)
         if prior_z_B is not None:
             prior_z_B = self.shard(prior_z_B)
-        return self.model.supervised_train_instance(real_A, real_B, prior_z_B)
+        with spatial_hints(self.mesh, self.axis, self.space_axis):
+            return self.model.supervised_train_instance(real_A, real_B,
+                                                        prior_z_B)
 
     # -- sharded inference: generation helpers fan the batch over the mesh
     # (without this the replicated-param jit computes the full batch on

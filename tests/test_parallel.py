@@ -127,21 +127,32 @@ def test_data_tensor_parallel_matches_single():
         assert np.isfinite(float(v))
 
 
-def test_dp_sp_compile_clean_of_involuntary_remat(capfd):
+@pytest.mark.parametrize("widths", [
+    dict(ngf=8, nef=8, ndf=8, nlatent=16),   # __graft_entry__ dryrun config
+    dict(ngf=4, nef=4, ndf=8, nlatent=8),    # verify-skill CLI config
+], ids=["dryrun-cfg", "cli-cfg"])
+def test_dp_sp_compile_clean_of_involuntary_remat(capfd, widths):
     """The dp x sp train-step compile must be free of GSPMD's 'Involuntary
     full rematerialization' reshard warning (spmd_partitioner.cc): the
     round-2 dryrun emitted it for a f32[B,1,1,1] broadcast in the step's
     transpose — the spatially-shaped discriminator logit reaching the loss
-    mean.  models/steps.py flattens every D prediction to (B, N) before the
-    GAN criteria (flat2d, numerics-preserving), leaving nothing with a
-    space-shardable dim on the loss path.  Compile fresh (persistent cache
-    off so the partitioner actually runs) and assert a clean stderr."""
+    mean.  Three fixes cover it: models/steps.py flattens every D prediction
+    to (B, N) before the GAN criteria (flat2d, numerics-preserving), and
+    DiscriminatorEdges + LatentEncoder pin their head activations (the
+    4x4 -> 1x1 spatial collapse) to batch-only sharding under an active
+    spatial mesh (parallel/hints.py) so no transpose ever wants a cotangent
+    sharded along a size-1 spatial dim.  Which head the partitioner
+    mishandles is cost-model (width) dependent: the dryrun config tripped
+    DiscriminatorEdges' conv4 transpose, the CLI config LatentEncoder's
+    nr4 batch-norm transpose — so both widths are pinned here.  Compile
+    fresh (persistent cache off so the partitioner actually runs) and
+    assert a clean stderr."""
     import jax as _jax
 
     cache_dir = _jax.config.jax_compilation_cache_dir
     _jax.config.update("jax_compilation_cache_dir", None)
     try:
-        dp = DataParallel(create_model(tiny_cfg(), testing=True),
+        dp = DataParallel(create_model(tiny_cfg(**widths), testing=True),
                           num_devices=8, spatial=2)
         rng = np.random.RandomState(11)
         A = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
@@ -256,3 +267,30 @@ def test_tensor_parallel_keeps_ema():
     B = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
     losses, _, _ = dp.train_instance(A, B)
     assert np.isfinite(float(losses["D_A"]))
+
+
+def test_spatial_hint_identity_and_pinning():
+    """parallel/hints.pin_batch_only is the identity outside the context
+    and applies a batch-only constraint inside a spatial-hint context."""
+    from domain_transfer_gan_tpu.parallel.hints import (pin_batch_only,
+                                                        spatial_hints)
+    from domain_transfer_gan_tpu.parallel import make_mesh_axes
+    from jax.sharding import PartitionSpec as P
+
+    x = jnp.ones((8, 4, 4, 16))
+    assert pin_batch_only(x) is x  # no context: literally a no-op
+
+    mesh = make_mesh_axes([("data", 4), ("space", 2)])
+    # no space axis: context is inert
+    with spatial_hints(mesh, "data", None):
+        assert pin_batch_only(x) is x
+
+    with spatial_hints(mesh, "data", "space"):
+        def f(v):
+            return pin_batch_only(v) * 2.0
+        y = jax.jit(f)(x)
+        # (trailing Nones are normalized away in the reported spec)
+        assert y.sharding.spec in (P("data"), P("data", None, None, None))
+        np.testing.assert_array_equal(np.asarray(y), 2.0 * np.asarray(x))
+    # context popped
+    assert pin_batch_only(x) is x
