@@ -36,7 +36,7 @@ PEAK_FLOPS = 197e12   # v5e bf16
 PEAK_HBM = 819e9      # v5e HBM bytes/s
 
 
-def run_config(size, blocks, batch, dtype):
+def run_config(size, blocks, batch, dtype, remat=False):
     import jax
     import jax.numpy as jnp
 
@@ -46,7 +46,8 @@ def run_config(size, blocks, batch, dtype):
     cfg = TrainConfig(model="aug_cycle_gan", grid_size=size,
                       batchSize=batch, ngf=32, nef=32, ndf=64,
                       nlatent=16, n_blocks=blocks, use_pallas=False,
-                      compute_dtype=dtype, monitor_gnorm=True, seed=0)
+                      compute_dtype=dtype, monitor_gnorm=True, seed=0,
+                      remat=remat)
     cfg.expr_dir = ""
     model = create_model(cfg, testing=True, image_size=size)
     rng = np.random.RandomState(0)
@@ -64,6 +65,7 @@ def run_config(size, blocks, batch, dtype):
     dt = time.perf_counter() - t0
     step_s = dt / STEPS
     rec = {"size": size, "n_blocks": blocks, "batch": batch, "dtype": dtype,
+           "remat": bool(remat),
            "images_per_sec": STEPS * batch / dt, "step_ms": 1e3 * step_s}
     # roofline: compiled cost analysis (same path as bench.py:90-104)
     try:
@@ -96,15 +98,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="*", default=None,
                     help="restrict to these grid sizes")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize generator activations in the "
+                         "backward — a candidate win in the "
+                         "bandwidth-bound hires regime")
     args = ap.parse_args()
 
     out = []
     for size, blocks, batch, dtype in CONFIGS:
         if args.sizes and size not in args.sizes:
             continue
-        out.append(run_config(size, blocks, batch, dtype))
+        out.append(run_config(size, blocks, batch, dtype, args.remat))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "results", "hires.json")
+                        "results", "hires_remat.json" if args.remat
+                        else "hires.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
