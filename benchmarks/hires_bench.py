@@ -106,15 +106,26 @@ def main():
 
     out = []
     for size, blocks, batch, dtype in CONFIGS:
-        if args.sizes and size not in args.sizes:
+        if args.sizes is not None and size not in args.sizes:
             continue
         out.append(run_config(size, blocks, batch, dtype, args.remat))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "results", "hires_remat.json" if args.remat
                         else "hires.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    # merge with prior results so a --sizes-restricted run updates its own
+    # configs without clobbering the rest of the committed table
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for rec in json.load(f):
+                merged[(rec["size"], rec["n_blocks"], rec["batch"],
+                        rec["dtype"])] = rec
+    for rec in out:
+        merged[(rec["size"], rec["n_blocks"], rec["batch"],
+                rec["dtype"])] = rec
     with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(list(merged.values()), f, indent=1)
     print("wrote %s" % path)
 
 

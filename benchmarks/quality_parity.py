@@ -190,6 +190,12 @@ def run_jax(dataroot, out, epochs, niter, batch, seed, eval_freq, iter_seed,
     # aug_cycle_gan train at the reference's default 256 (or 128) grid
     model = create_model(cfg, testing=True, image_size=size)
     train_it, (devA, devB), _ = _load(dataroot, iter_seed, batch)
+    # the fully-convolutional nets would train on mismatched-resolution
+    # data without error — refuse to produce mislabeled quality evidence
+    if devA.shape[1] != size:
+        raise ValueError(
+            "--size %d but %s holds %dpx images — point --dataroot at a "
+            "matching-resolution dataset" % (size, dataroot, devA.shape[1]))
 
     def dev_metrics():
         from domain_transfer_gan_tpu.eval.diversity import eval_z_diversity
@@ -227,18 +233,18 @@ def run_jax(dataroot, out, epochs, niter, batch, seed, eval_freq, iter_seed,
                   flush=True)
         history.append(rec)
         _dump(out, "jax-" + dtype + (("-ema%g" % ema) if ema else ""),
-              epochs, niter, batch, seed, history, d_lr_mode)
+              epochs, niter, batch, seed, history, d_lr_mode, size)
         if epoch > niter:
             model.update_learning_rate()
     return history
 
 
 def _dump(out, arm, epochs, niter, batch, seed, history,
-          d_lr_mode="reference"):
+          d_lr_mode="reference", size=64):
     with open(out, "w") as f:
         json.dump({"config": {"arm": arm, "epochs": epochs, "niter": niter,
                               "batch": batch, "seed": seed,
-                              "d_lr_mode": d_lr_mode},
+                              "d_lr_mode": d_lr_mode, "size": size},
                    "history": history}, f, indent=1)
 
 

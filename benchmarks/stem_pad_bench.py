@@ -136,7 +136,11 @@ def main():
                    "chain": CHAIN, "batch": B}
             print(json.dumps(rec), flush=True)
             out.append(rec)
-    with open("benchmarks/results/stem_pad.json", "w") as f:
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results", "stem_pad.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
 
 

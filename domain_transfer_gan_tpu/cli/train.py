@@ -307,8 +307,10 @@ def train_model(opt: TrainConfig = None, argv=None):
                 trace_active = True
             # supervised runs reuse the unsupervised step's prior_z_B draw
             # in the supervised step (reference train.py:211-216 passes the
-            # SAME prior_z_B to both), so draw it in the driver there
-            prior_z = (model.sample_prior_z(opt.batchSize)
+            # SAME prior_z_B to both), so draw it in the driver there —
+            # sized to the actual batch (the per-file loader emits short
+            # tail batches)
+            prior_z = (model.sample_prior_z(real_A.shape[0])
                        if opt.supervised else None)
             out = model.train_instance(real_A, real_B, prior_z)
             if opt.monitor_gnorm:
@@ -324,8 +326,17 @@ def train_model(opt: TrainConfig = None, argv=None):
 
             if opt.supervised:
                 sup_data = next(sup_iter)
+                # the sup iterator has no last-batch backoff; when its
+                # batch differs from the main draw's size, a fresh
+                # size-matched draw replaces the shared one (statistically
+                # identical; exact z sharing holds for the standard
+                # equal-size case)
+                sup_z = prior_z
+                n_sup = sup_data["A"].shape[0]
+                if sup_z is not None and n_sup != sup_z.shape[0]:
+                    sup_z = model.sample_prior_z(n_sup)
                 sup_losses = model.supervised_train_instance(
-                    sup_data["A"], sup_data["B"], prior_z)
+                    sup_data["A"], sup_data["B"], sup_z)
             if opt.check_numerics:
                 check_losses_finite(losses, epoch, i)
                 if opt.supervised:

@@ -122,10 +122,12 @@ class _CycleGANBase:
         the split D schedule): old_lr < opt.lr iff at least one
         update_learning_rate call happened, i.e. decay has started."""
         decayed = self.old_lr < self.opt.lr
-        if getattr(self.opt, "d_lr_mode", "reference") == "ratio" or not decayed:
-            self.old_lr_d = self.old_lr / 5.0 if decayed else self.opt.lr / 5.0
-        else:
-            self.old_lr_d = self.old_lr
+        reference = getattr(self.opt, "d_lr_mode", "reference") == "reference"
+        # two-case schedule: D runs at lr/5 until decay starts; under the
+        # reference-faithful mode decay then sets D to the full decayed lr
+        # (pre-decay old_lr == opt.lr, so old_lr/5 covers both /5 cases)
+        self.old_lr_d = self.old_lr if (reference and decayed) \
+            else self.old_lr / 5.0
 
     # -- mode toggles ---------------------------------------------------
     def eval(self):

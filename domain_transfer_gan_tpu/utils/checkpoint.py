@@ -102,8 +102,29 @@ class OrbaxCheckpointer:
         import pickle
         import subprocess
         import sys
-        staging = path + ".staging.pkl"
-        with open(staging, "wb") as f:
+        import tempfile
+        # serialize saves per checkpoint name: a still-running child for
+        # the same path must finish before a new writer targets the same
+        # orbax directory (back-to-back async 'latest' saves)
+        still = []
+        for proc, p in self._procs:
+            if p == path and proc.poll() is None:
+                if proc.wait() != 0:
+                    raise RuntimeError(
+                        "orbax writer subprocess failed (rc %d) for %s"
+                        % (proc.returncode, p))
+            else:
+                still.append((proc, p))
+        self._procs = still
+        # unique staging file per save: back-to-back async saves to the
+        # SAME checkpoint name (e.g. 'latest' every epoch) must not share
+        # a staging path, or save N+1 truncates the file save N's child is
+        # still reading (the child removes its own staging file when done)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        fd, staging = tempfile.mkstemp(
+            prefix=os.path.basename(path) + ".staging.", suffix=".pkl",
+            dir=os.path.dirname(path) or ".")
+        with os.fdopen(fd, "wb") as f:
             pickle.dump(jax.device_get(payload), f,
                         protocol=pickle.HIGHEST_PROTOCOL)
         pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(

@@ -123,7 +123,10 @@ def test_supervised_train_driver(tmp_path, capsys):
     """--supervised end-to-end through the real driver: the supervised step
     runs each iteration with the SAME prior_z_B the unsupervised step drew
     (reference train.py:211-216 passes one draw to both — cli/train.py
-    draws it once in the loop), and the supervised losses are logged."""
+    draws it once in the loop), and the supervised losses are logged.
+    sup_frac 0.75 makes the supervised set (12) not divide batchSize (8),
+    so the sup iterator emits a short tail batch — regression for the
+    prior_z size mismatch (the driver redraws a size-matched z there)."""
     root = tmp_path / "ds"
     ckpt = tmp_path / "ckpt"
     write_synthetic_dataset(str(root), n_train=24, n_test=8, size=64)
@@ -135,8 +138,8 @@ def test_supervised_train_driver(tmp_path, capsys):
         "--print_freq", "8", "--display_freq", "64",
         "--save_epoch_freq", "1", "--use_pallas", "0", "--seed", "4",
         "--dev_size", "8", "--num_devices", "1",
-        "--supervised", "--sup_frac", "0.5"])
+        "--supervised", "--sup_frac", "0.75"])
     out = capsys.readouterr().out
-    assert "#supervised images = 8" in out
+    assert "#supervised images = 12" in out
     assert "S_A" in out and "S_B" in out  # supervised losses logged
     assert os.path.exists(os.path.join(str(ckpt), "sup_e2e", "latest"))
