@@ -97,6 +97,11 @@ def main(argv=None):
     os.makedirs(os.path.dirname(out), exist_ok=True)
     expr_dir, chk_name = os.path.split(out)
     model.opt.expr_dir = expr_dir
+    # a freshly-imported checkpoint has completed ZERO epochs here: the
+    # payload's epoch marks the last COMPLETED epoch, and --continue_train
+    # resumes at epoch+1, so record epoch_count-1 to train the full
+    # schedule from the imported weights
+    model.epoch = model.opt.epoch_count - 1
     model.save(chk_name)
     print("wrote native checkpoint:", out)
     return 0

@@ -48,8 +48,9 @@ def visualize_cycle_B_multi(opt, real_B, model, name="cycle_B_multi_test.png"):
     z_set = model.sample_prior_z(opt.num_multi)
     multi_z = jnp.tile(z_set, (n, 1))
     fake_A, multi_fake_B = model.generate_cycle_B_multi(real_B, multi_z)
-    multi_fake_B = np.asarray(multi_fake_B).reshape(
-        (n, opt.num_multi) + real_B.shape[1:])
+    multi_fake_B = np.asarray(multi_fake_B)
+    multi_fake_B = multi_fake_B.reshape((n, opt.num_multi)
+                                        + multi_fake_B.shape[1:])
     cols = [np.asarray(real_B), np.asarray(fake_A)] + \
         [multi_fake_B[:, i] for i in range(opt.num_multi)]
     grid = interleave_columns([one_to_three_channels(c[..., :3])
@@ -63,8 +64,11 @@ def visualize_multi(opt, real_A, model, name="multi_test.png"):
     n = real_A.shape[0]
     z_set = model.sample_prior_z(opt.num_multi)
     multi_z = jnp.tile(z_set, (n, 1))
-    multi_fake_B = np.asarray(model.generate_multi(real_A, multi_z)).reshape(
-        (n, opt.num_multi) + real_A.shape[1:])
+    multi_fake_B = np.asarray(model.generate_multi(real_A, multi_z))
+    # reshape with the GENERATED shape — output_nc can differ from input_nc
+    # (e.g. climate: 4-channel forcings -> 1-channel SWE)
+    multi_fake_B = multi_fake_B.reshape((n, opt.num_multi)
+                                        + multi_fake_B.shape[1:])
     cols = [np.asarray(real_A)] + [multi_fake_B[:, i]
                                    for i in range(opt.num_multi)]
     grid = interleave_columns([one_to_three_channels(c[..., :3])
@@ -78,8 +82,8 @@ def visualize_inference(opt, real_A, real_B, model, name="inf_test.png"):
     real_B = jnp.asarray(real_B)[:opt.num_multi]
     n = real_A.shape[0]
     num = real_B.shape[0]
-    multi_fake_B = np.asarray(model.inference_multi(real_A, real_B)).reshape(
-        (n, num) + real_A.shape[1:])
+    multi_fake_B = np.asarray(model.inference_multi(real_A, real_B))
+    multi_fake_B = multi_fake_B.reshape((n, num) + multi_fake_B.shape[1:])
     cols = [np.asarray(real_A)] + [multi_fake_B[:, i] for i in range(num)]
     body = interleave_columns([one_to_three_channels(c[..., :3])
                                for c in cols])
@@ -170,7 +174,8 @@ def test_model(argv=None):
                                  batchSize=n_vis)
         for i, vis_data in enumerate(dev_vis):
             real_A, real_B = vis_data["A"], vis_data["B"]
-            prior_z_B = model.sample_prior_z(n_vis)
+            # the dev split may be smaller than n_vis — size z to the batch
+            prior_z_B = model.sample_prior_z(np.asarray(real_A).shape[0])
             visuals = model.generate_cycle(jnp.asarray(real_A),
                                            jnp.asarray(real_B), prior_z_B)
             visualize_cycle(opt, real_A, visuals, name="cycle_%d.png" % i)

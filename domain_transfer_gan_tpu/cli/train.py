@@ -138,7 +138,9 @@ def train_model(opt: TrainConfig = None, argv=None):
     elif getattr(opt, "host_devices", 0):
         assert jax.local_device_count() >= opt.host_devices, (
             "backend initialized before --host_devices could apply")
-    out_f = open(os.path.join(opt.expr_dir, "results.txt"), "w")
+    # resume appends to the prior run's log instead of truncating it
+    out_f = open(os.path.join(opt.expr_dir, "results.txt"),
+                 "a" if opt.continue_train else "w")
     copy_scripts_to_folder(opt.expr_dir)
 
     if opt.seed is not None:
@@ -213,11 +215,12 @@ def train_model(opt: TrainConfig = None, argv=None):
     print_log(out_f, "model [%s] was created" % type(model).__name__)
 
     # real resume (fixes reference quirk Q10)
+    resumed = False
     if opt.continue_train:
-        chk = os.path.join(opt.expr_dir, opt.which_epoch
-                           if opt.which_epoch != "latest" else "latest")
+        chk = os.path.join(opt.expr_dir, opt.which_epoch)
         if os.path.exists(chk):
             model.load(chk)
+            resumed = True
             print_log(out_f, "resumed from %s (epoch %d, step %d)"
                       % (chk, model.epoch, int(model.state.step)))
         else:
@@ -231,12 +234,13 @@ def train_model(opt: TrainConfig = None, argv=None):
     spatial = getattr(opt, "spatial", 0)
     tensor = getattr(opt, "tensor", 0)
     per_data = max(spatial, 1) * max(tensor, 1)
-    if n_dev > 1 and opt.batchSize % max(n_dev // per_data, 1) != 0:
+    data_axis_size = max(n_dev // per_data, 1)
+    if n_dev > 1 and opt.batchSize % data_axis_size != 0:
         print_log(out_f, "WARNING: %d devices visible but batchSize %d does "
                   "not divide the data axis (%d) — running UNSHARDED on one "
                   "device; --spatial/--tensor are ignored"
-                  % (n_dev, opt.batchSize, max(n_dev // per_data, 1)))
-    if n_dev > 1 and opt.batchSize % max(n_dev // per_data, 1) == 0:
+                  % (n_dev, opt.batchSize, data_axis_size))
+    elif n_dev > 1:
         model = DataParallel(model, num_devices=n_dev, axis=opt.data_axis,
                              spatial=spatial, tensor=tensor)
         desc = "data-parallel"
@@ -262,11 +266,23 @@ def train_model(opt: TrainConfig = None, argv=None):
         with open(results_path) as f:
             results.update(json.load(f))
     save_results(opt.expr_dir, results)
+    # resume keeps the prior run's eval history: the per-epoch np.save
+    # writes the WHOLE list, so starting empty would overwrite
+    # history_*.npy with post-resume entries only
     history_mse_A = []
     history_ubo_B = []
+    if resumed:
+        for name, hist in (("history_mse_A.npy", history_mse_A),
+                           ("history_ubo_B.npy", history_ubo_B)):
+            p = os.path.join(opt.expr_dir, name)
+            if os.path.exists(p):
+                hist.extend(tuple(row) for row in np.load(p))
     create_sub_dirs(opt, ["vis_pred_B"])
 
-    start_epoch = model.epoch if opt.continue_train else opt.epoch_count
+    # the 'latest' payload is written at the END of epoch E with epoch=E,
+    # so resume continues at E+1 (re-training E would double-log it and
+    # call update_learning_rate once too often, overshooting the decay)
+    start_epoch = model.epoch + 1 if resumed else opt.epoch_count
     is_dp = isinstance(model, DataParallel)
     mesh = model.mesh if is_dp else None
     space_ax = model.space_axis if is_dp else None

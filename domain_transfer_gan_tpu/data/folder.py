@@ -111,9 +111,18 @@ class NumpyDataset:
         self.A_paths = A_paths[:subset_size]
         self.B_paths = B_paths[:subset_size]
 
+        self._transformed = load_in_mem
         if load_in_mem:
-            self.A_paths = [_load_arr(p) for p in self.A_paths]
-            self.B_paths = [_load_arr(p) for p in self.B_paths]
+            # the transform (uint8 scale, anti-aliased resize, [-1,1]) is
+            # deterministic, so apply it ONCE at load time — re-running the
+            # per-item resize on every epoch's every access would dispatch
+            # through jax.image.resize from the loader threads each time
+            self.A_paths = [default_transform(_load_arr(p), self.grid_size,
+                                              self.antialias)
+                            for p in self.A_paths]
+            self.B_paths = [default_transform(_load_arr(p), self.grid_size,
+                                              self.antialias)
+                            for p in self.B_paths]
 
         self.A_size = len(self.A_paths)
         self.B_size = len(self.B_paths)
@@ -126,6 +135,8 @@ class NumpyDataset:
         else:
             index_B = index % self.A_size
         B = _load_arr(self.B_paths[index_B])
+        if self._transformed:
+            return {"A": A, "B": B}
         return {"A": default_transform(A, self.grid_size, self.antialias),
                 "B": default_transform(B, self.grid_size, self.antialias)}
 
@@ -175,22 +186,41 @@ class DataLoader:
             # bounded two-deep pipeline: prefetch next while current consumed
             pending = queue.Queue(maxsize=2)
             stop = object()
+            cancel = threading.Event()
+
+            def put_or_cancel(item) -> bool:
+                while not cancel.is_set():
+                    try:
+                        pending.put(item, timeout=0.1)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
 
             def producer():
                 try:
                     for idxs in batches:
-                        pending.put(fetch(idxs))
+                        if cancel.is_set() or not put_or_cancel(fetch(idxs)):
+                            return
                 finally:
-                    pending.put(stop)
+                    put_or_cancel(stop)
 
             t = threading.Thread(target=producer, daemon=True)
             t.start()
-            while True:
-                item = pending.get()
-                if item is stop:
-                    break
-                yield item
-            t.join()
+            try:
+                while True:
+                    item = pending.get()
+                    if item is stop:
+                        break
+                    yield item
+                t.join()
+            finally:
+                # a consumer that abandons the iterator early (break / GC)
+                # must release the producer: it may be blocked in put() on
+                # the full queue, and letting the pool shut down under it
+                # would leak the thread plus the buffered batches forever
+                cancel.set()
+                t.join(timeout=30)
 
     def load_data(self):
         return self._iter_batches()

@@ -20,7 +20,6 @@ class AlignedIterator:
                  shuffle: bool = False, rng: Optional[np.random.RandomState] = None,
                  **kwargs):
         assert data_A.shape[0] == data_B.shape[0], "passed data differ in number!"
-        batch_size = kwargs.get("batch_size", batch_size)
         self.data_A = data_A
         self.data_B = data_B
         self.num_samples = data_A.shape[0]
@@ -64,7 +63,6 @@ class UnalignedIterator:
     def __init__(self, data_A, data_B, batch_size: int = 100,
                  rng: Optional[np.random.RandomState] = None, **kwargs):
         assert data_A.shape[0] == data_B.shape[0], "passed data differ in number!"
-        batch_size = kwargs.get("batch_size", batch_size)
         self.data_A = data_A
         self.data_B = data_B
         self.num_samples = data_A.shape[0]

@@ -47,10 +47,13 @@ def extract_variables(nc_path: str, var_names: Sequence[str]) -> np.ndarray:
     with netCDF4.Dataset(nc_path) as ds:
         arrs = []
         for name in var_names:
-            v = np.asarray(ds.variables[name][:], dtype=np.float32)
-            if np.ma.isMaskedArray(ds.variables[name][:]):
-                v = np.ma.filled(ds.variables[name][:], np.nan).astype(
-                    np.float32)
+            # read the variable ONCE: each [:] materializes (and
+            # decompresses) the full (time, lat, lon) array from disk
+            raw = ds.variables[name][:]
+            if np.ma.isMaskedArray(raw):
+                v = np.ma.filled(raw, np.nan).astype(np.float32)
+            else:
+                v = np.asarray(raw, dtype=np.float32)
             arrs.append(v)
         data = np.stack(arrs, axis=-1)
         meta = {}
