@@ -48,17 +48,24 @@ def _npix(model, real_B) -> float:
 # MSE_A  (reference evaluate.py:10-19)
 # ---------------------------------------------------------------------------
 
-def _frozen_apply(net, variables, *args, train: bool, rngs=None):
+def _frozen_apply(net, params, stats, *args, train: bool, rngs=None):
     """Forward pass that honors the train flag without persisting batch-stat
     mutations.  The reference never switches nets to eval mode (model.eval()
     is commented out in its test.py and absent from train.py), so evals must
     use train-mode statistics when ``model.training`` is set; dropout stays
-    deterministic-off during eval unless an rng is supplied."""
+    deterministic-off during eval unless an rng is supplied.  Assembles the
+    variables dict from (params, stats) so every eval call site shares ONE
+    copy of the collection-handling idiom."""
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    # train is positional: flax remat (--remat generators) only supports
+    # static *positional* args, see models.steps.apply_net
     if train:
-        out, _ = net.apply(variables, *args, train=True,
+        out, _ = net.apply(variables, *args, True,
                            mutable=["batch_stats"], rngs=rngs)
         return out
-    return net.apply(variables, *args, train=False)
+    return net.apply(variables, *args, False)
 
 
 def eval_mse_A(dataset, model) -> float:
@@ -70,11 +77,8 @@ def eval_mse_A(dataset, model) -> float:
 
         @jax.jit
         def f(params, stats, real_A, real_B, rng):
-            variables = {"params": params}
-            if stats:
-                variables["batch_stats"] = stats
             rngs = {"dropout": rng} if (train and use_dropout) else None
-            pred_A = _frozen_apply(net, variables, real_B, train=train,
+            pred_A = _frozen_apply(net, params, stats, real_B, train=train,
                                    rngs=rngs)
             return jnp.mean((pred_A - real_A) ** 2)
 
@@ -110,12 +114,9 @@ def _predict_B_fn(model, train: Optional[bool] = None):
     def f(params, stats, real_A, z, rngs=None):
         if ignore_noise:
             z = jnp.ones_like(z)
-        variables = {"params": params}
-        if stats:
-            variables["batch_stats"] = stats
         if train and use_dropout and rngs is None:
             rngs = {"dropout": jax.random.PRNGKey(0)}
-        return _frozen_apply(net, variables, real_A, z, train=train,
+        return _frozen_apply(net, params, stats, real_A, z, train=train,
                              rngs=rngs)
 
     return f
@@ -267,11 +268,16 @@ def variational_ubo(model, real_A, real_B, steps: int, visualize: bool = False,
             msg = "[%d] UBO: %.4f, KLD: %.4f, BPP: %.4f" % (done, ubo_val,
                                                             kld_val, bpp)
             if compute_l1:
-                z_l1 = mu if not model.opt.stoch_enc else None
-                if z_l1 is not None:
-                    rec_B = predict_B(gp, gs, real_A, z_l1)
-                    msg += ", L1: %.4f" % float(jnp.mean(jnp.abs(
-                        real_B_deq[:n_real] - rec_B[:n_real])))
+                # reference evaluate.py:72-77: stoch_enc scores a fresh
+                # posterior SAMPLE (rec_B = fake_B), deterministic scores
+                # the posterior mean
+                z_l1 = (gauss_reparametrize_eps(
+                    mu, logvar,
+                    jax.random.normal(model.next_key(), mu.shape))
+                    if model.opt.stoch_enc else mu)
+                rec_B = predict_B(gp, gs, real_A, z_l1)
+                msg += ", L1: %.4f" % float(jnp.mean(jnp.abs(
+                    real_B_deq[:n_real] - rec_B[:n_real])))
             print(msg)
         if visualize and done % 100 == 0:
             vis_dump(str(done))
@@ -285,14 +291,15 @@ def eval_ubo_B(dataset, model, steps: int = 500, visualize: bool = False,
                logvar_B=None, vis_batch: int = 25, compute_l1: bool = False):
     """Mean UBO/BPP/KLD over the dataset (reference evaluate.py:21-37)."""
     ubo_B, bpp_B, kld_B = [], [], []
-    first = True
     pad_to = getattr(dataset, "batch_size", None)
     for batch in dataset:
+        # visualize EVERY batch under the same filenames, like the
+        # reference (evaluate.py:27-31): each batch overwrites, so the
+        # published grids show the LAST batch's samples
         ubo, kld, bpp = variational_ubo(
             model, batch["A"], batch["B"], steps,
-            visualize and first, vis_name, vis_path, verbose, logvar_B,
+            visualize, vis_name, vis_path, verbose, logvar_B,
             vis_batch, compute_l1, pad_to=pad_to)
-        first = False
         ubo_B.append(ubo)
         bpp_B.append(bpp)
         kld_B.append(kld)
@@ -303,9 +310,11 @@ def eval_ubo_B(dataset, model, steps: int = 500, visualize: bool = False,
 # decoder-logvar fitting  (reference test.py:137-174)
 # ---------------------------------------------------------------------------
 
-def train_logvar(dataset, model, epochs: int = 1):
+def train_logvar(dataset, model, epochs: int = 1, verbose: bool = True):
     """Fit the decoder's pixelwise logvar_B on train data by minimizing the
-    UBO with everything else frozen."""
+    UBO with everything else frozen.  Prints the reference's per-batch
+    'UBO/KLD/BPP' progress line (test.py:168) unless verbose=False, so a
+    stalled or diverging fit is visible while it runs."""
     shape = None
     train = bool(model.training)
     predict_B = _predict_B_fn(model)
@@ -319,18 +328,12 @@ def train_logvar(dataset, model, epochs: int = 1):
             dequant = jax.random.uniform(k_deq, real_B.shape, real_B.dtype,
                                          0.0, 1.0 / 127.5)
             rb = real_B + dequant
-            va = {"params": pa}
-            if ps:
-                va["batch_stats"] = ps
-            fake_A = _frozen_apply(net_A, va, rb, train=train)
+            fake_A = _frozen_apply(net_A, pa, ps, rb, train=train)
             if "netE_B" in model.nets:
                 enc_in = (jnp.concatenate([fake_A, rb], axis=-1)
                           if model.opt.enc_A_B else rb)
-                ve = {"params": e_params}
-                if e_stats:
-                    ve["batch_stats"] = e_stats
-                mu, logvar = _frozen_apply(model.nets["netE_B"], ve, enc_in,
-                                           train=train)
+                mu, logvar = _frozen_apply(model.nets["netE_B"], e_params,
+                                           e_stats, enc_in, train=train)
                 if not model.opt.stoch_enc:
                     logvar = jnp.full_like(logvar, math.log(0.01))
             else:
@@ -350,7 +353,7 @@ def train_logvar(dataset, model, epochs: int = 1):
             ubo, g = jax.value_and_grad(loss_fn)(logvar_B)
             sq = RMS_ALPHA * sq + (1 - RMS_ALPHA) * g ** 2
             logvar_B = logvar_B - RMS_LR * g / (jnp.sqrt(sq) + RMS_EPS)
-            return logvar_B, sq, ubo
+            return logvar_B, sq, ubo, jnp.mean(kld_std_gauss(mu, logvar))
 
         return step
 
@@ -364,7 +367,7 @@ def train_logvar(dataset, model, epochs: int = 1):
                 logvar_B = jnp.full(shape, math.log(0.01), real_B.dtype)
                 sq = jnp.zeros_like(logvar_B)
             npix = _npix(model, real_B)
-            logvar_B, sq, ubo = step(
+            logvar_B, sq, ubo, kld = step(
                 model.state.params["netG_A_B"],
                 model.state.batch_stats["netG_A_B"],
                 model.state.params["netG_B_A"],
@@ -372,6 +375,10 @@ def train_logvar(dataset, model, epochs: int = 1):
                 model.state.params.get("netE_B", {}),
                 model.state.batch_stats.get("netE_B", {}),
                 logvar_B, sq, real_B, model.next_key(), npix)
+            if verbose:
+                u = float(ubo)
+                print("UBO: %.4f, KLD: %.4f, BPP: %.4f"
+                      % (u, float(kld), u / (npix * math.log(2.0))))
     return logvar_B
 
 

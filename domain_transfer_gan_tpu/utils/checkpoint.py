@@ -20,38 +20,62 @@ from flax import serialization
 
 
 class AsyncCheckpointer:
-    """Serializes checkpoint writes on a single background thread.
+    """Serializes checkpoint writes on one long-lived background thread.
 
-    save() returns immediately; wait() blocks until all pending writes are
-    durable (call before process exit or before loading what was saved).
+    save() is O(device_get): it snapshots to host and enqueues; the writer
+    thread serializes + writes in submission order, so back-to-back saves
+    never block the train loop on disk (the previous implementation joined
+    the in-flight write under a lock — a full hidden sync).  wait() blocks
+    until all pending writes are durable (call before process exit or
+    before loading what was saved).
+
+    A failed background write is NOT silent: the exception is captured and
+    re-raised to the caller on the next save() or wait() — a checkpoint
+    that looked saved but wasn't is worse than a crashed run.
     """
 
     def __init__(self):
-        self._lock = threading.Lock()
-        self._pending: Optional[threading.Thread] = None
+        import queue as _queue
+        self._queue: "_queue.Queue" = _queue.Queue()
+        self._error: Optional[BaseException] = None
+        self._error_lock = threading.Lock()
+        self._thread: Optional[threading.Thread] = None
+
+    def _writer(self):
+        while True:
+            item = self._queue.get()
+            try:
+                if item is None:
+                    return
+                path, host_payload = item
+                data = serialization.to_bytes(host_payload)
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                os.replace(tmp, path)  # atomic publish
+            except BaseException as e:  # propagate via save()/wait()
+                with self._error_lock:
+                    if self._error is None:
+                        self._error = e
+            finally:
+                self._queue.task_done()
+
+    def _raise_pending_error(self) -> None:
+        with self._error_lock:
+            err, self._error = self._error, None
+        if err is not None:
+            raise RuntimeError("async checkpoint write failed") from err
 
     def save(self, path: str, payload) -> None:
-        host_payload = jax.device_get(payload)
-
-        def write():
-            data = serialization.to_bytes(host_payload)
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(data)
-            os.replace(tmp, path)  # atomic publish
-
-        with self._lock:
-            if self._pending is not None:
-                self._pending.join()
-            t = threading.Thread(target=write, daemon=True)
-            t.start()
-            self._pending = t
+        self._raise_pending_error()
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(target=self._writer, daemon=True)
+            self._thread.start()
+        self._queue.put((path, jax.device_get(payload)))
 
     def wait(self) -> None:
-        with self._lock:
-            if self._pending is not None:
-                self._pending.join()
-                self._pending = None
+        self._queue.join()
+        self._raise_pending_error()
 
 
 def load_checkpoint(path: str, target):
@@ -107,14 +131,15 @@ class OrbaxCheckpointer:
         # the same path must finish before a new writer targets the same
         # orbax directory (back-to-back async 'latest' saves)
         still = []
-        for proc, p in self._procs:
+        for proc, p, stg in self._procs:
             if p == path and proc.poll() is None:
                 if proc.wait() != 0:
+                    self._unlink_quiet(stg)
                     raise RuntimeError(
                         "orbax writer subprocess failed (rc %d) for %s"
                         % (proc.returncode, p))
             else:
-                still.append((proc, p))
+                still.append((proc, p, stg))
         self._procs = still
         # unique staging file per save: back-to-back async saves to the
         # SAME checkpoint name (e.g. 'latest' every epoch) must not share
@@ -140,11 +165,21 @@ class OrbaxCheckpointer:
              "domain_transfer_gan_tpu.utils._orbax_write", staging, path],
             env=env)
         if async_save:
-            self._procs.append((proc, path))
+            self._procs.append((proc, path, staging))
             return
         if proc.wait() != 0:
+            # the child unlinks staging only on success — don't leak the
+            # (potentially multi-GB) pickle on failure
+            self._unlink_quiet(staging)
             raise RuntimeError("orbax writer subprocess failed (rc %d) "
                                "for %s" % (proc.returncode, path))
+
+    @staticmethod
+    def _unlink_quiet(path: str) -> None:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
 
     def restore(self, path: str, template):
         # restore against the template's structure/shapes/dtypes
@@ -152,10 +187,21 @@ class OrbaxCheckpointer:
             os.path.abspath(path),
             args=self._ocp.args.StandardRestore(jax.device_get(template)))
 
+    def metadata(self, path: str):
+        """On-disk tree structure (dict with shape/dtype leaves) — lets a
+        caller probe a checkpoint's layout (ema present? pool shapes?)
+        without a trial restore."""
+        return self._sync.metadata(os.path.abspath(path))
+
     def wait(self) -> None:
         self._async.wait_until_finished()
         procs, self._procs = self._procs, []
-        for proc, path in procs:
+        failed = []
+        for proc, path, staging in procs:
             if proc.wait() != 0:
-                raise RuntimeError("orbax writer subprocess failed (rc %d) "
-                                   "for %s" % (proc.returncode, path))
+                self._unlink_quiet(staging)
+                failed.append((proc.returncode, path))
+        if failed:
+            raise RuntimeError("orbax writer subprocess(es) failed: %s"
+                               % ", ".join("rc %d for %s" % f
+                                           for f in failed))

@@ -409,8 +409,7 @@ def _import_adam_group(osd, nets, ordered, params, opt_state, report,
 
     pos = 0
     for net in nets:
-        mu = _copy_tree({})
-        nu = _copy_tree({})
+        mu, nu = {}, {}
         count = 0
         for tk, path, tf in ordered[net]:
             pid = idxs[pos]
