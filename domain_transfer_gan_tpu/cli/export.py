@@ -49,7 +49,8 @@ def export_model(model, out_dir: str, batch: int = 32):
             variables = {"params": p}
             if st:
                 variables["batch_stats"] = st
-            return net.apply(variables, *args, train=False)
+            # positional train: remat-wrapped nets require it static
+            return net.apply(variables, *args, False)
 
         return fn
 

@@ -76,21 +76,47 @@ class _CycleGANBase:
     def sample_prior_z(self, batch: int) -> jax.Array:
         return jax.random.normal(self.next_key(), (batch, self.opt.nlatent))
 
+    def _prep_prior(self, batch: int, prior_z_B) -> jax.Array:
+        """Shared prior-z handling for every train entry: draw from the
+        prior when the caller passes None, otherwise accept flat (B, nz)
+        or image-layout (B, 1, 1, nz) codes."""
+        if prior_z_B is None:
+            return self.sample_prior_z(batch)
+        prior_z_B = _as_jnp(prior_z_B)
+        if prior_z_B.ndim == 4:
+            prior_z_B = prior_z_B.reshape(prior_z_B.shape[0], -1)
+        return prior_z_B
+
     # -- forward helpers (jitted, train-flag static) --------------------
     def _apply(self, name: str, *args, train: Optional[bool] = None):
         train = self.training if train is None else train
+        # train-mode generator forwards need a dropout rng when
+        # --use_dropout is set (the reference dumps train-mode visuals
+        # with dropout active, train.py:47-94); drawing next_key() only
+        # in that case keeps the default RNG stream untouched
+        needs_drop = (train and bool(self.opt.use_dropout)
+                      and name in ("netG_A_B", "netG_B_A"))
         key = ("apply", name, train)
         if key not in self._jit_cache:
             net = self.nets[name]
 
-            @jax.jit
-            def f(params, stats, *xs):
-                out, _ = apply_net(net, params, stats, *xs, train=train)
-                return out
+            if needs_drop:
+                @jax.jit
+                def f(params, stats, rng, *xs):
+                    out, _ = apply_net(net, params, stats, *xs, train=train,
+                                       rngs={"dropout": rng})
+                    return out
+            else:
+                @jax.jit
+                def f(params, stats, *xs):
+                    out, _ = apply_net(net, params, stats, *xs, train=train)
+                    return out
 
             self._jit_cache[key] = f
+        lead = (self.next_key(),) if needs_drop else ()
         return self._jit_cache[key](self.state.params[name],
-                                    self.state.batch_stats[name], *args)
+                                    self.state.batch_stats[name],
+                                    *lead, *args)
 
     def predict_A(self, real_B):
         return self._apply("netG_B_A", _as_jnp(real_B))
@@ -223,20 +249,58 @@ class _CycleGANBase:
                                  if n in target["params"]}
             return target
 
+        def pools_compatible(shapes: dict) -> bool:
+            # shapes: {pool_name: buf shape} as stored in the checkpoint
+            cur = self.state.pools
+            return (set(shapes) == set(cur)
+                    and all(tuple(shapes[k]) == tuple(cur[k].buf.shape)
+                            for k in shapes))
+
+        pools_ok = True
         if os.path.isdir(chk_path):
+            target = self._ckpt_payload()
+            meta = None
             try:
-                payload = self._orbax().restore(chk_path,
-                                                self._ckpt_payload())
-            except Exception as first:
-                # orbax exposes no cheap structure probe; retry with the
-                # alternate EMA/non-EMA target but chain the original error
-                # so a genuinely corrupt checkpoint isn't masked by the
-                # second attempt's structure mismatch
+                meta = self._orbax().metadata(chk_path).item_metadata.tree
+            except Exception:
+                pass  # older orbax / foreign layout: fall back to retries
+            if meta is not None:
+                # probe the on-disk layout once instead of trial restores
+                if ("ema" in meta) != ("ema" in target):
+                    target = alt_target(target)
+                if "pools" not in meta:
+                    # pre-pools checkpoint: nothing on disk to restore
+                    pools_ok = not self.state.pools
+                    target = dict(target)
+                    target.pop("pools", None)
+                else:
+                    disk_pools = meta["pools"]
+                    pools_ok = pools_compatible(
+                        {k: tuple(v["buf"].shape)
+                         for k, v in disk_pools.items()})
+                    if not pools_ok:
+                        # --pool_size changed since the save: restore the
+                        # on-disk pools against abstract leaves (orbax
+                        # rejects structure mismatches), discarded below
+                        target = dict(target)
+                        target["pools"] = {
+                            k: {"buf": jax.ShapeDtypeStruct(
+                                    tuple(v["buf"].shape), v["buf"].dtype),
+                                "n": jax.ShapeDtypeStruct((), jnp.int32)}
+                            for k, v in disk_pools.items()}
+                payload = self._orbax().restore(chk_path, target)
+            else:
                 try:
-                    payload = self._orbax().restore(
-                        chk_path, alt_target(self._ckpt_payload()))
-                except Exception as second:
-                    raise second from first
+                    payload = self._orbax().restore(chk_path, target)
+                except Exception as first:
+                    # retry with the alternate EMA/non-EMA target but chain
+                    # the original error so a genuinely corrupt checkpoint
+                    # isn't masked by the second attempt's mismatch
+                    try:
+                        payload = self._orbax().restore(
+                            chk_path, alt_target(self._ckpt_payload()))
+                    except Exception as second:
+                        raise second from first
         else:
             with open(chk_path, "rb") as f:
                 data = f.read()
@@ -247,7 +311,22 @@ class _CycleGANBase:
             target = self._ckpt_payload()
             if ("ema" in raw) != ("ema" in target):
                 target = alt_target(target)
+            raw_pools = raw.get("pools") or {}
+            pools_ok = pools_compatible(
+                {k: tuple(np.shape(v["buf"])) for k, v in raw_pools.items()})
+            raw = dict(raw)
+            raw.setdefault("pools", {})  # tolerate pre-pools checkpoints
+            if not pools_ok:
+                # --pool_size changed since the save: skip the pools during
+                # structural restore and keep this config's fresh ones
+                target = dict(target)
+                target["pools"] = {}
+                raw["pools"] = {}
             payload = serialization.from_state_dict(target, raw)
+        if not pools_ok:
+            print("warning: checkpoint pool buffers do not match this "
+                  "config's --pool_size; starting with fresh pools")
+            payload["pools"] = self.state.pools
         ema = payload.get("ema", {})
         if self.state.ema and not ema:
             # this config tracks EMA but the checkpoint predates it: seed
@@ -255,7 +334,9 @@ class _CycleGANBase:
             # init) so --use_ema scores trained weights immediately
             ema = {n: payload["params"][n] for n in self.state.ema
                    if n in payload["params"]}
-        self.state = TrainState(
+        # .replace() keeps any future TrainState fields intact (CLAUDE.md
+        # invariant: never rebuild one from scratch)
+        self.state = self.state.replace(
             params=payload["params"], batch_stats=payload["batch_stats"],
             opt_state=payload["opt_state"],
             pools=payload.get("pools", self.state.pools),
@@ -308,12 +389,7 @@ class StochCycleGAN(_CycleGANBase):
 
     def train_instance(self, real_A, real_B, prior_z_B=None):
         real_A, real_B = _as_jnp(real_A), _as_jnp(real_B)
-        if prior_z_B is None:
-            prior_z_B = self.sample_prior_z(real_A.shape[0])
-        else:
-            prior_z_B = _as_jnp(prior_z_B)
-            if prior_z_B.ndim == 4:
-                prior_z_B = prior_z_B.reshape(prior_z_B.shape[0], -1)
+        prior_z_B = self._prep_prior(real_A.shape[0], prior_z_B)
         self.state, losses, visuals, gnorms = self._train_step(
             self.state, real_A, real_B, prior_z_B,
             jnp.float32(self.old_lr), jnp.float32(self.old_lr_d),
@@ -385,12 +461,7 @@ class AugmentedCycleGAN(_CycleGANBase):
 
     def train_instance(self, real_A, real_B, prior_z_B=None):
         real_A, real_B = _as_jnp(real_A), _as_jnp(real_B)
-        if prior_z_B is None:
-            prior_z_B = self.sample_prior_z(real_A.shape[0])
-        else:
-            prior_z_B = _as_jnp(prior_z_B)
-            if prior_z_B.ndim == 4:
-                prior_z_B = prior_z_B.reshape(prior_z_B.shape[0], -1)
+        prior_z_B = self._prep_prior(real_A.shape[0], prior_z_B)
         self.state, losses, visuals, gnorms = self._train_step(
             self.state, real_A, real_B, prior_z_B,
             jnp.float32(self.old_lr), jnp.float32(self.old_lr_d),
@@ -414,12 +485,7 @@ class AugmentedCycleGAN(_CycleGANBase):
 
     def supervised_train_instance(self, real_A, real_B, prior_z_B=None):
         real_A, real_B = _as_jnp(real_A), _as_jnp(real_B)
-        if prior_z_B is None:
-            prior_z_B = self.sample_prior_z(real_A.shape[0])
-        else:
-            prior_z_B = _as_jnp(prior_z_B)
-            if prior_z_B.ndim == 4:
-                prior_z_B = prior_z_B.reshape(prior_z_B.shape[0], -1)
+        prior_z_B = self._prep_prior(real_A.shape[0], prior_z_B)
         self.state, losses = self._sup_step(
             self.state, real_A, real_B, prior_z_B,
             jnp.float32(self.old_lr), jnp.float32(self.old_lr_d),

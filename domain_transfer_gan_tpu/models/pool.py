@@ -52,18 +52,25 @@ def pool_query(pool: PoolState, images: jnp.ndarray,
     coin = jax.random.bernoulli(k_coin, 0.5, (b,))
     rand_slot = jax.random.randint(k_slot, (b,), 0, pool_size)
 
-    # replayed candidates (gather BEFORE any writes, like torch's copy)
-    replay = pool.buf[rand_slot]
-    out = jnp.where((~inserting & coin)[:, None, None, None], replay, images)
+    imgs = images.astype(pool.buf.dtype)
+    # Inserts land BEFORE the replay gather: torch fills sequentially, so
+    # by the time any element replays, every slot holds a real image — a
+    # replay in the same batch that crosses the pool-full boundary must
+    # see this batch's inserts, never a zero-initialized slot.  Non-
+    # inserting elements scatter out of bounds and are dropped in place
+    # (no extended-buffer copy).
+    buf = pool.buf.at[jnp.where(inserting, pos, pool_size)].set(
+        imgs, mode="drop")
 
-    # writes: inserts go to `pos`, coin-swaps go to `rand_slot`;
-    # non-writing elements are routed to a scratch row past the buffer end
-    write_slot = jnp.where(inserting, pos,
-                           jnp.where(coin, rand_slot, pool_size))
-    buf_ext = jnp.concatenate(
-        [pool.buf, jnp.zeros((1,) + pool.buf.shape[1:], pool.buf.dtype)], 0)
-    buf_ext = buf_ext.at[write_slot].set(images.astype(pool.buf.dtype))
-    new_buf = buf_ext[:pool_size]
+    # replayed candidates: the slot's OLD content (gather precedes the
+    # coin-swap writes, like torch's clone-then-replace)
+    replaying = ~inserting & coin
+    replay = buf[rand_slot]
+    out = jnp.where(replaying[:, None, None, None], replay, images)
+
+    # coin-swaps: the replayed slots take the incoming images
+    buf = buf.at[jnp.where(replaying, rand_slot, pool_size)].set(
+        imgs, mode="drop")
 
     new_n = jnp.minimum(pool.n + b, pool_size).astype(jnp.int32)
-    return PoolState(buf=new_buf, n=new_n), out
+    return PoolState(buf=buf, n=new_n), out

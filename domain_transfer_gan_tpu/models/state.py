@@ -120,11 +120,22 @@ def build_networks(cfg: TrainConfig) -> Dict[str, Any]:
                                           dtype=dtype)
     if getattr(cfg, "remat", False):
         # trade FLOPs for HBM traffic: recompute generator activations in the
-        # backward pass instead of saving them (the step is bandwidth-bound)
+        # backward pass instead of saving them (the step is bandwidth-bound).
+        # The bool `train` arg must be STATIC under jax.checkpoint (dropout /
+        # batch-norm branch on it with `not train`); flax's lifted remat
+        # counts the module itself as argnum 0, so the index comes from the
+        # __call__ signature position of `train` — and apply_net passes
+        # train positionally for the same reason (static_argnums has no
+        # kwarg form).
+        import inspect
+
         import flax.linen as fnn
         for name in ("netG_A_B", "netG_B_A"):
             mod = nets[name]
-            nets[name] = fnn.remat(type(mod))(
+            train_idx = list(
+                inspect.signature(type(mod).__call__).parameters).index(
+                    "train")
+            nets[name] = fnn.remat(type(mod), static_argnums=(train_idx,))(
                 **{f.name: getattr(mod, f.name)
                    for f in mod.__dataclass_fields__.values()
                    if f.name not in ("parent", "name")})
@@ -149,7 +160,8 @@ def init_state(cfg: TrainConfig, rng: jax.Array,
     params, batch_stats = {}, {}
 
     def init_net(name, key, *args):
-        variables = nets[name].init({"params": key}, *args, train=False)
+        # positional train: remat-wrapped nets require it static
+        variables = nets[name].init({"params": key}, *args, False)
         params[name] = variables["params"]
         batch_stats[name] = variables.get("batch_stats", {})
 

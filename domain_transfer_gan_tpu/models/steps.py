@@ -59,13 +59,27 @@ def apply_net(net, params, stats, *args, train: bool = True, rngs=None):
     variables = {"params": params}
     if stats:
         variables["batch_stats"] = stats
-    out, mut = net.apply(variables, *args, train=train,
+    # train is passed POSITIONALLY: every net takes it as its last
+    # positional arg, and flax's lifted remat (--remat) can only mark a
+    # positional arg static (static_argnums has no kwarg form), so a
+    # train= kwarg would crash remat-wrapped generators at trace time.
+    out, mut = net.apply(variables, *args, train,
                          mutable=["batch_stats"], rngs=rngs)
     return out, mut.get("batch_stats", stats if stats else {})
 
 
-def _dropout_rngs(key, use_dropout):
-    return {"dropout": key} if use_dropout else None
+def _dropout_rngs_pair(key, use_dropout):
+    """Independent dropout rngs for the two generator forwards of a phase.
+
+    The torch reference draws every forward's masks from the global RNG
+    stream, so G_A_B and G_B_A never share masks; flax folds the rng with
+    the module path, and both generators have identically-named submodules
+    (block{i}/Dropout_0), so handing them the SAME key would give
+    bit-identical masks."""
+    if not use_dropout:
+        return None, None
+    k_ab, k_ba = jax.random.split(key)
+    return {"dropout": k_ab}, {"dropout": k_ba}
 
 
 def flat2d(x):
@@ -124,12 +138,12 @@ def make_stoch_train_step(nets, cfg: TrainConfig, ignore_noise: bool):
         # run exactly ONCE per step (the reference reuses its phase-0 graph
         # the same way, model.py:404-407 vs :455-461).
         def shared_fwd(g_params):
-            rngs0 = _dropout_rngs(k_drop0, cfg.use_dropout)
+            rngs0_ab, rngs0_ba = _dropout_rngs_pair(k_drop0, cfg.use_dropout)
             fake_B, st_GAB = apply_net(nets["netG_A_B"], g_params["netG_A_B"],
                                        stats["netG_A_B"], real_A, prior_z,
-                                       rngs=rngs0)
+                                       rngs=rngs0_ab)
             fake_A, st_GBA = apply_net(nets["netG_B_A"], g_params["netG_B_A"],
-                                       stats["netG_B_A"], real_B, rngs=rngs0)
+                                       stats["netG_B_A"], real_B, rngs=rngs0_ba)
             return (fake_B, fake_A), (st_GAB, st_GBA)
 
         g_params = {k: p[k] for k in ("netG_A_B", "netG_B_A")}
@@ -182,12 +196,12 @@ def make_stoch_train_step(nets, cfg: TrainConfig, ignore_noise: bool):
             pf_B, stB = apply_net(nets["netD_B"], new_p["netD_B"],
                                   d_aux["st_D_B"], fb)
             loss_G_B = gan(flat2d(pf_B), True)
-            rngs1 = _dropout_rngs(k_drop1, cfg.use_dropout)
+            rngs1_ab, rngs1_ba = _dropout_rngs_pair(k_drop1, cfg.use_dropout)
             rec_A, stGBA = apply_net(nets["netG_B_A"], g_params["netG_B_A"],
-                                     st_GBA, fb, rngs=rngs1)
+                                     st_GBA, fb, rngs=rngs1_ba)
             loss_cycle_A = l1_loss(rec_A, real_A)
             rec_B, stGAB = apply_net(nets["netG_A_B"], g_params["netG_A_B"],
-                                     st_GAB, fa, prior_z, rngs=rngs1)
+                                     st_GAB, fa, prior_z, rngs=rngs1_ab)
             loss_cycle_B = l1_loss(rec_B, real_B)
             loss_G = (loss_G_A + loss_G_B
                       + loss_cycle_A * cfg.lambda_A + loss_cycle_B * cfg.lambda_B)
@@ -225,11 +239,13 @@ def make_stoch_train_step(nets, cfg: TrainConfig, ignore_noise: bool):
         visuals = {"real_A": real_A, "fake_B": fake_B,
                    "rec_A": g_aux["rec_A"], "real_B": real_B,
                    "fake_A": fake_A, "rec_B": g_aux["rec_B"]}
-        new_state = TrainState(params=new_p, batch_stats=new_stats,
-                               opt_state=new_opt, step=state.step + 1,
-                               pools=pools,
-                               ema=ema_update(state.ema, new_p,
-                                              getattr(cfg, "ema", 0.0)))
+        # .replace() keeps any future TrainState fields intact (CLAUDE.md
+        # invariant: never rebuild one from scratch)
+        new_state = state.replace(params=new_p, batch_stats=new_stats,
+                                  opt_state=new_opt, step=state.step + 1,
+                                  pools=pools,
+                                  ema=ema_update(state.ema, new_p,
+                                                 getattr(cfg, "ema", 0.0)))
         return new_state, losses, visuals, gnorms
 
     return step
@@ -276,12 +292,12 @@ def make_aug_train_step(nets, cfg: TrainConfig):
         # reuses its phase-0 graph the same way, model.py:404-419 vs
         # :455-464).
         def shared_fwd(g_params):
-            rngs0 = _dropout_rngs(k_drop0, cfg.use_dropout)
+            rngs0_ab, rngs0_ba = _dropout_rngs_pair(k_drop0, cfg.use_dropout)
             fake_B, st_GAB = apply_net(nets["netG_A_B"], g_params["netG_A_B"],
                                        stats["netG_A_B"], real_A, prior_z,
-                                       rngs=rngs0)
+                                       rngs=rngs0_ab)
             fake_A, st_GBA = apply_net(nets["netG_B_A"], g_params["netG_B_A"],
-                                       stats["netG_B_A"], real_B, rngs=rngs0)
+                                       stats["netG_B_A"], real_B, rngs=rngs0_ba)
             post_z, mu, logvar, logvar_eff, st_E = posterior(
                 g_params["netE_B"], stats["netE_B"], fake_A, real_B, eps_post)
             return ((fake_B, fake_A, post_z, mu, logvar_eff),
@@ -356,9 +372,9 @@ def make_aug_train_step(nets, cfg: TrainConfig):
                                      d_aux["st_D_z"], pz)
             loss_G_z_B = gan(pz_post, True)
 
-            rngs1 = _dropout_rngs(k_drop1, cfg.use_dropout)
+            rngs1_ab, rngs1_ba = _dropout_rngs_pair(k_drop1, cfg.use_dropout)
             rec_A, stGBA = apply_net(nets["netG_B_A"], g_params["netG_B_A"],
-                                     st_GBA, fb, rngs=rngs1)
+                                     st_GBA, fb, rngs=rngs1_ba)
             loss_cycle_A = l1_loss(rec_A, real_A)
 
             # z-cycle: recover the prior z from (A, fake_B)  model.py:470-487
@@ -375,7 +391,7 @@ def make_aug_train_step(nets, cfg: TrainConfig):
             kld_z_B = jnp.mean(kld_std_gauss(mu2, logvar2_eff))  # model.py:490
 
             rec_B, stGAB = apply_net(nets["netG_A_B"], g_params["netG_A_B"],
-                                     st_GAB, fa, pz, rngs=rngs1)
+                                     st_GAB, fa, pz, rngs=rngs1_ab)
             loss_cycle_B = l1_loss(rec_B, real_B)
 
             loss_cycle = (loss_cycle_A * cfg.lambda_A
@@ -429,11 +445,13 @@ def make_aug_train_step(nets, cfg: TrainConfig):
         visuals = {"real_A": real_A, "fake_B": fake_B,
                    "rec_A": g_aux["rec_A"], "real_B": real_B,
                    "fake_A": fake_A, "rec_B": g_aux["rec_B"]}
-        new_state = TrainState(params=new_p, batch_stats=new_stats,
-                               opt_state=new_opt, step=state.step + 1,
-                               pools=pools,
-                               ema=ema_update(state.ema, new_p,
-                                              getattr(cfg, "ema", 0.0)))
+        # .replace() keeps any future TrainState fields intact (CLAUDE.md
+        # invariant: never rebuild one from scratch)
+        new_state = state.replace(params=new_p, batch_stats=new_stats,
+                                  opt_state=new_opt, step=state.step + 1,
+                                  pools=pools,
+                                  ema=ema_update(state.ema, new_p,
+                                                 getattr(cfg, "ema", 0.0)))
         return new_state, losses, visuals, gnorms
 
     return step
@@ -495,13 +513,14 @@ def make_aug_supervised_step(nets, cfg: TrainConfig):
 
         # G phase
         def g_loss_fn(g_params):
-            rngs = _dropout_rngs(k_drop, cfg.use_dropout)
+            rngs_ab, rngs_ba = _dropout_rngs_pair(k_drop, cfg.use_dropout)
             pz, mu2, logvar2_eff, _ = enc_forward(g_params["netE_B"],
                                                   stats["netE_B"])
             pred_B, stGAB = apply_net(nets["netG_A_B"], g_params["netG_A_B"],
-                                      stats["netG_A_B"], real_A, pz, rngs=rngs)
+                                      stats["netG_A_B"], real_A, pz,
+                                      rngs=rngs_ab)
             pred_A, stGBA = apply_net(nets["netG_B_A"], g_params["netG_B_A"],
-                                      stats["netG_B_A"], real_B, rngs=rngs)
+                                      stats["netG_B_A"], real_B, rngs=rngs_ba)
             loss_sup_A = l1_loss(pred_A, real_A)
             loss_sup_B = l1_loss(pred_B, real_B)
             pz_post, stZ = apply_net(nets["netD_z_B"], new_p["netD_z_B"],
@@ -537,11 +556,10 @@ def make_aug_supervised_step(nets, cfg: TrainConfig):
             "gnorm_E_B": gnorms["gnorm_E_B"],
             "gnorm_D_z_B": gnorms["gnorm_D_z_B"],
         }
-        new_state = TrainState(params=new_p, batch_stats=new_stats,
-                               opt_state=new_opt, step=state.step,
-                               pools=state.pools,
-                               ema=ema_update(state.ema, new_p,
-                                              getattr(cfg, "ema", 0.0)))
+        new_state = state.replace(params=new_p, batch_stats=new_stats,
+                                  opt_state=new_opt,
+                                  ema=ema_update(state.ema, new_p,
+                                                 getattr(cfg, "ema", 0.0)))
         return new_state, losses
 
     return step

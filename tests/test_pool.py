@@ -106,3 +106,23 @@ def test_pool_with_data_parallel():
     assert int(dp.state.pools["fake_A"].n) == 8
     # pool holds the first batch's fakes (inserted verbatim while filling)
     assert np.all(np.isfinite(np.asarray(dp.state.pools["fake_A"].buf)))
+
+
+def test_pool_crossing_batch_never_replays_zeros():
+    """In the batch where the pool crosses full, replays must come from
+    real images (torch fills sequentially, so every replayed slot is
+    populated) — never from a zero-initialized slot."""
+    filler = jnp.concatenate([_img(1), _img(2)])
+    incoming = jnp.concatenate([_img(10 + i) for i in range(4)])
+    legal = {1.0, 2.0, 10.0, 11.0, 12.0, 13.0}
+    for seed in range(64):
+        pool = init_pool(4, (2, 2, 1))
+        pool, _ = pool_query(pool, filler, jax.random.PRNGKey(1000 + seed))
+        assert int(pool.n) == 2
+        # batch of 4 into 2 free slots: elements 2,3 are past capacity
+        pool2, out = pool_query(pool, incoming, jax.random.PRNGKey(seed))
+        vals = np.asarray(out[:, 0, 0, 0]).tolist()
+        assert all(v in legal for v in vals), vals
+        assert int(pool2.n) == 4
+        buf_vals = np.asarray(pool2.buf[:, 0, 0, 0]).tolist()
+        assert all(v in legal for v in buf_vals), buf_vals

@@ -448,3 +448,112 @@ def test_ema_mismatch_orbax_checkpoint(tmp_path):
     m2.load(str(tmp_path / "latest"))
     assert _leaf_diff(m.state.params, m2.state.params) == 0.0
     assert m2.state.ema
+
+
+# ---------------------------------------------------------------------------
+# --remat static-train handling (flax lifted remat needs positional static
+# args; dropout / batch-norm branch on `not train` and crash on a tracer)
+# ---------------------------------------------------------------------------
+
+def test_remat_with_dropout_initializes_and_steps():
+    m = create_model(tiny_cfg(remat=True, use_dropout=True, seed=5),
+                     testing=True)
+    A, B = batch()
+    losses, _, _ = m.train_instance(A, B)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_remat_with_batchnorm_initializes_and_steps():
+    m = create_model(tiny_cfg(remat=True, norm="batch", seed=6),
+                     testing=True)
+    A, B = batch()
+    losses, _, _ = m.train_instance(A, B)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+# ---------------------------------------------------------------------------
+# --use_dropout generation/eval helpers (train-mode forwards need a dropout
+# rng; the reference dumps train-mode visuals with dropout active)
+# ---------------------------------------------------------------------------
+
+def test_generation_helpers_with_dropout_train_mode():
+    m = create_model(tiny_cfg(use_dropout=True, seed=7), testing=True)
+    assert m.training
+    A, B = batch()
+    z = m.sample_prior_z(2)
+    vis = m.generate_cycle(A, B, z)
+    for k, v in vis.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
+    # train-mode dropout draws fresh masks per call -> stochastic outputs
+    out1 = m.predict_B(A, z)
+    out2 = m.predict_B(A, z)
+    assert float(jnp.max(jnp.abs(out1 - out2))) > 0.0
+    # eval mode switches dropout off -> deterministic
+    m.eval()
+    out3 = m.predict_B(A, z)
+    out4 = m.predict_B(A, z)
+    np.testing.assert_array_equal(np.asarray(out3), np.asarray(out4))
+
+
+def test_generator_dropout_masks_independent():
+    """The two generator forwards of a step must not share dropout masks.
+
+    flax folds the rng with the module path; both generators have
+    identically-named submodules, so handing them the SAME key gives
+    bit-identical masks (the old bug).  _dropout_rngs_pair splits."""
+    from domain_transfer_gan_tpu.models.steps import _dropout_rngs_pair
+    from domain_transfer_gan_tpu.nn import networks as N
+
+    net = N.define_G(input_nc=3, output_nc=3, ngf=4, norm="instance",
+                     use_dropout=True, n_blocks=1, use_pallas=False)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+
+    key = jax.random.PRNGKey(42)
+    rngs_ab, rngs_ba = _dropout_rngs_pair(key, True)
+    apply = lambda rngs: net.apply(variables, x, True, rngs=rngs,
+                                   mutable=["batch_stats"])[0]
+    # same key twice -> identical masks (the pitfall)
+    np.testing.assert_array_equal(np.asarray(apply({"dropout": key})),
+                                  np.asarray(apply({"dropout": key})))
+    # the pair -> independent masks
+    assert float(jnp.max(jnp.abs(apply(rngs_ab) - apply(rngs_ba)))) > 0.0
+
+
+# ---------------------------------------------------------------------------
+# --pool_size changes across save/resume (the reference never persists a
+# pool; a structure/shape mismatch must fall back to fresh pools, not crash)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("backend", ["flax", "orbax"])
+@pytest.mark.parametrize("save_pool,load_pool", [(0, 8), (8, 0), (8, 4)])
+def test_pool_size_change_across_resume(tmp_path, backend, save_pool,
+                                        load_pool):
+    cfg = tiny_cfg(model="stoch_cycle_gan", pool_size=save_pool, seed=8,
+                   ckpt_backend=backend)
+    cfg.expr_dir = str(tmp_path)
+    m = create_model(cfg, testing=True)
+    A, B = batch()
+    m.train_instance(A, B)
+    m.save("latest")
+    m.wait_for_saves()
+
+    cfg2 = tiny_cfg(model="stoch_cycle_gan", pool_size=load_pool, seed=9,
+                    ckpt_backend=backend)
+    cfg2.expr_dir = str(tmp_path)
+    m2 = create_model(cfg2, testing=True)
+    m2.load(str(tmp_path / "latest"))
+    # params restore exactly; pools fall back to this config's fresh ones
+    assert _leaf_diff(m.state.params, m2.state.params) == 0.0
+    assert set(m2.state.pools) == ({"fake_A", "fake_B"} if load_pool
+                                   else set())
+    for p in m2.state.pools.values():
+        assert p.buf.shape[0] == load_pool
+        assert int(p.n) == 0
+    # and the resumed model still trains
+    losses = m2.train_instance(A, B)[0]
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
