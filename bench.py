@@ -96,12 +96,13 @@ def measure_tpu(batch=BATCH, dtype=DTYPE) -> dict:
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops = float(ca.get("flops", float("nan")))
         byts = float(ca.get("bytes accessed", float("nan")))
-        res.update(
-            flops_per_step=flops,
-            bytes_per_step=byts,
-            mfu=flops / step_s / 197e12,
-            hbm_gbps=byts / step_s / 1e9,
-        )
+        # only publish finite values: a missing cost-analysis key must not
+        # leak NaN into the one-JSON-line driver contract (json.dumps
+        # would emit the non-RFC-8259 token `NaN`)
+        if flops == flops:
+            res.update(flops_per_step=flops, mfu=flops / step_s / 197e12)
+        if byts == byts:
+            res.update(bytes_per_step=byts, hbm_gbps=byts / step_s / 1e9)
     except Exception as e:  # cost analysis is best-effort
         sys.stderr.write("cost analysis unavailable: %r\n" % (e,))
     return res
@@ -138,6 +139,7 @@ def main():
     }
     if "mfu" in res:
         line["mfu"] = round(res["mfu"], 4)
+    if "bytes_per_step" in res:
         line["bytes_per_step"] = res["bytes_per_step"]
         line["hbm_gbps"] = round(res["hbm_gbps"], 1)
     print(json.dumps(line), flush=True)

@@ -20,14 +20,20 @@ from domain_transfer_gan_tpu.ops.pallas import instance_norm_pallas
 from domain_transfer_gan_tpu.ops.pallas.instance_norm import pallas_supported
 
 
+def _sync(out):
+    # host-fetch one element: jax.block_until_ready can return early on
+    # this environment's tunneled TPU backend (~5x throughput inflation)
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+
+
 def timeit(fn, *args, iters=50, warmup=5):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -92,7 +98,7 @@ def main():
                 print(json.dumps(results[-1]))
     wins = [r for r in results if r["pallas_active"]]
     if wins:
-        g = np.mean([r["speedup"] for r in wins])
+        g = np.exp(np.mean(np.log([r["speedup"] for r in wins])))
         print(json.dumps({"geomean_speedup_active_cases": round(float(g), 3),
                           "backend": jax.default_backend()}))
 

@@ -30,6 +30,11 @@ ZDIM = 16
 EVAL_BATCH = 100
 DIV_INPUTS = 32   # dev-A inputs scored for z-diversity
 DIV_NUM_Z = 10    # z draws per input (reference generate_multi grid width)
+# both arms log exactly this key set so the per-loss trajectories line up
+# (G_z_B is excluded: the torch proxy exposes it but the reference's own
+# error surface — and hence the jax train_instance — does not)
+PARITY_LOSS_KEYS = ("D_A", "D_B", "D_z_B", "G_A", "G_B",
+                    "Cyc_A", "Cyc_B", "Cyc_z_B")
 
 
 def _load(dataroot, iter_seed, batch):
@@ -139,7 +144,7 @@ def run_torch(dataroot, out, epochs, niter, batch, seed, eval_freq,
             z = torch.randn(A.shape[0], ZDIM, 1, 1)
             ep_losses.append(train_step(nets, opt_g, opt_d, A, B, z))
         mean_losses = {k: float(np.mean([d[k] for d in ep_losses]))
-                       for k in ep_losses[0]}
+                       for k in ep_losses[0] if k in PARITY_LOSS_KEYS}
         rec = {"epoch": epoch, "losses": mean_losses,
                "epoch_sec": time.time() - t0}
         if epoch % eval_freq == 0 or epoch == epochs:
@@ -219,10 +224,8 @@ def run_jax(dataroot, out, epochs, niter, batch, seed, eval_freq, iter_seed,
         for data in train_it:
             losses, _ = model.train_instance(data["A"], data["B"])
             ep_losses.append(losses)
-        keys = ["D_A", "D_B", "D_z_B", "G_A", "G_B", "Cyc_A", "Cyc_B",
-                "Cyc_z_B"]
         mean_losses = {k: float(np.mean([float(d[k]) for d in ep_losses]))
-                       for k in keys}
+                       for k in PARITY_LOSS_KEYS if k in ep_losses[0]}
         rec = {"epoch": epoch, "losses": mean_losses,
                "epoch_sec": time.time() - t0}
         if epoch % eval_freq == 0 or epoch == epochs:

@@ -28,17 +28,23 @@ import jax.numpy as jnp
 SIZE = 64
 
 
+def _sync(out):
+    # host-fetch ONE element of the first output leaf: block_until_ready
+    # lies on this backend, and fetching a full tensor over the tunnel
+    # would dominate the measurement
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+
+
 def timed(fn, *args, iters=30, warmup=3):
-    """fn must return a SCALAR array — the sync fetches it host-side (a
-    4-byte transfer); fetching a full tensor over the tunnel would dominate
-    the measurement, and block_until_ready lies on this backend."""
+    """Times fn with a single-element host fetch as the sync point; fn may
+    return a scalar, tensor, or pytree."""
     for _ in range(warmup):
         out = fn(*args)
-    float(np.asarray(jax.tree_util.tree_leaves(out)[0]))
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    float(np.asarray(jax.tree_util.tree_leaves(out)[0]))
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 

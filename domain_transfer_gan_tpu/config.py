@@ -343,16 +343,17 @@ def parse_opt_file(opt_path: str) -> dict:
             return True
         if s == "False":
             return False
-        if s == "inf":
-            return float("inf")
         try:
             f = float(s)
-            if "." in s:
-                return f
-            i = int(f)
-            return i if i == f else f
         except ValueError:
             return s
+        # non-finite floats and decimal notation stay float; everything
+        # else round-trips through int when exact (int(inf) raises
+        # OverflowError, int(nan) ValueError — neither means "string")
+        if "." in s or f != f or f in (float("inf"), float("-inf")):
+            return f
+        i = int(f)
+        return i if i == f else f
 
     opt = {}
     with open(opt_path) as f:

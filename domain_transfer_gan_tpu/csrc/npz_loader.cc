@@ -99,7 +99,18 @@ static bool list_entries(const Buffer& zip, std::vector<Entry>* out) {
 
 static bool extract(const Buffer& zip, const Entry& e,
                     std::vector<uint8_t>* out) {
-  out->resize(e.raw_size);
+  // e.raw_size comes straight from the (possibly corrupt) archive: bound
+  // it BEFORE allocating — a stored entry can't exceed its archive bytes
+  // and deflate expands at most ~1032x, so anything past that is garbage
+  // (and an unchecked resize of e.g. 2^60 throws bad_alloc, which must
+  // not unwind through the C ABI / worker threads).
+  if (e.method == 0 && e.raw_size != e.comp_size) return false;
+  if (e.raw_size > e.comp_size * 1040 + (1 << 16)) return false;
+  try {
+    out->resize(e.raw_size);
+  } catch (const std::exception&) {
+    return false;
+  }
   const uint8_t* src = zip.data.data() + e.data_offset;
   if (e.method == 0) {
     memcpy(out->data(), src, e.raw_size);
@@ -284,8 +295,9 @@ extern "C" {
 // error.  If out is null, only probes the shape.  If src_kind is non-null
 // it receives the source dtype kind character ('f', 'i', 'u', 'b') so
 // callers can preserve integer-scaling semantics (e.g. uint8 -> /255).
-int npz_read_f32_ex(const char* path, const char* member, float* out,
-                    int64_t out_capacity, int64_t* shape, char* src_kind) {
+static int npz_read_f32_impl(const char* path, const char* member, float* out,
+                             int64_t out_capacity, int64_t* shape,
+                             char* src_kind) {
   Buffer zip;
   if (!read_file(path, &zip)) return -1;
 
@@ -313,9 +325,10 @@ int npz_read_f32_ex(const char* path, const char* member, float* out,
   NpyInfo info;
   if (!parse_npy_header(npy, npy_len, &info)) return -5;
   if (info.fortran) return -6;
+  if (info.shape.size() > 8) return -9;  // shape[8] contract
   if (src_kind) *src_kind = info.kind;
   int64_t count = 1;
-  for (size_t i = 0; i < info.shape.size() && i < 8; i++) {
+  for (size_t i = 0; i < info.shape.size(); i++) {
     shape[i] = info.shape[i];
     count *= info.shape[i];
   }
@@ -324,6 +337,18 @@ int npz_read_f32_ex(const char* path, const char* member, float* out,
   if (count > out_capacity) return -7;
   if (!to_float32(npy + info.payload_offset, info, count, out)) return -8;
   return ndim;
+}
+
+int npz_read_f32_ex(const char* path, const char* member, float* out,
+                    int64_t out_capacity, int64_t* shape, char* src_kind) {
+  // C++ exceptions must never unwind through the C ABI (UB) or a worker
+  // thread body (guaranteed std::terminate) — map them to an error code.
+  try {
+    return npz_read_f32_impl(path, member, out, out_capacity, shape,
+                             src_kind);
+  } catch (...) {
+    return -10;
+  }
 }
 
 int npz_read_f32(const char* path, const char* member, float* out,

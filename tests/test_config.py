@@ -91,3 +91,22 @@ def test_test_options():
     t = TestOptions().parse(["--chk_path", "/c/latest", "--dataroot", "/d",
                              "--metric", "bpp"])
     assert t.metric == "bpp" and t.train_logvar == 1
+
+
+def test_parse_opt_file_nonfinite_floats(tmp_path):
+    """Reference-era opt.txt values like inf/-inf/nan must parse as floats
+    (int(inf) raises OverflowError, int(nan) ValueError — neither means
+    'keep the string')."""
+    p = tmp_path / "opt.txt"
+    p.write_text("------------ Options -------------\n"
+                 "max_gnorm: inf\n"
+                 "a: -inf\n"
+                 "b: nan\n"
+                 "lr: 2e-4\n"
+                 "n: 50\n")
+    out = parse_opt_file(str(p))
+    assert out["max_gnorm"] == float("inf")
+    assert out["a"] == float("-inf")
+    assert out["b"] != out["b"] and isinstance(out["b"], float)
+    assert out["lr"] == 2e-4 and isinstance(out["lr"], float)
+    assert out["n"] == 50 and isinstance(out["n"], int)

@@ -183,3 +183,39 @@ def test_edges2shoes_folder_layout(tmp_path):
     assert trA.shape == (4, 16, 16, 3) and devA.shape[0] == 2
     assert teA.shape == (3, 16, 16, 3)
     assert trA.min() >= -1.001 and trA.max() <= 1.001
+
+
+def test_native_loader_rejects_corrupt_and_overdeep_files(tmp_path):
+    """Malformed inputs must come back as errors (None through the ctypes
+    wrapper), never crash: a corrupt size field used to bad_alloc straight
+    through the C ABI / batch worker threads (std::terminate), and a 9-D
+    npy overflowed the shape[8] out-array contract."""
+    import struct
+    import zipfile
+
+    from domain_transfer_gan_tpu.data import native
+    if not native.native_available():
+        pytest.skip("native library not built")
+
+    ok = str(tmp_path / "ok.npz")
+    np.savez(ok, data=np.arange(12, dtype=np.float32).reshape(3, 4))
+    np.testing.assert_array_equal(
+        native.read_npz_f32(ok),
+        np.arange(12, dtype=np.float32).reshape(3, 4))
+
+    nine = str(tmp_path / "nine.npy")
+    np.save(nine, np.zeros((1,) * 9, np.float32))
+    assert native.read_npz_f32(nine) is None
+
+    with zipfile.ZipFile(str(tmp_path / "c.npz"), "w",
+                         zipfile.ZIP_DEFLATED) as z:
+        z.writestr("data.npy", open(nine, "rb").read())
+    blob = bytearray(open(str(tmp_path / "c.npz"), "rb").read())
+    i = blob.find(b"PK\x03\x04")
+    struct.pack_into("<I", blob, i + 22, 0xFFFFFFFF)  # lie about raw size
+    corrupt = str(tmp_path / "corrupt.npz")
+    open(corrupt, "wb").write(bytes(blob))
+    assert native.read_npz_f32(corrupt) is None
+    # batch path: one bad file -> clean failure, process survives
+    assert native.load_batch_f32([ok, corrupt], 3, 4, 1,
+                                 normalize=False) is None
