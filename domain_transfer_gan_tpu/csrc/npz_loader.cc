@@ -157,38 +157,44 @@ static bool parse_npy_header(const uint8_t* buf, size_t n, NpyInfo* info) {
   std::string hdr((const char*)(buf + hoff), hlen);
   info->payload_offset = hoff + hlen;
 
-  auto find_val = [&](const char* key) -> std::string {
-    size_t k = hdr.find(key);
-    if (k == std::string::npos) return "";
-    size_t c = hdr.find(':', k);
-    size_t e2 = hdr.find(',', c);
-    // tuples contain commas; handle shape separately
-    return hdr.substr(c + 1, e2 - c - 1);
-  };
-
-  // descr
+  // descr (every find is bounds-checked: the header may be corrupt)
   size_t dpos = hdr.find("'descr'");
   if (dpos != std::string::npos) {
-    size_t q1 = hdr.find('\'', hdr.find(':', dpos));
-    size_t q2 = hdr.find('\'', q1 + 1);
+    size_t colon = hdr.find(':', dpos);
+    size_t q1 = colon == std::string::npos ? std::string::npos
+                                           : hdr.find('\'', colon);
+    size_t q2 = q1 == std::string::npos ? std::string::npos
+                                        : hdr.find('\'', q1 + 1);
+    if (q2 == std::string::npos) return false;
     std::string descr = hdr.substr(q1 + 1, q2 - q1 - 1);
+    if (descr.empty()) return false;
     size_t i = 0;
     if (descr[i] == '<' || descr[i] == '|') { info->little_endian = true; i++; }
     else if (descr[i] == '>') { info->little_endian = false; i++; }
+    if (i >= descr.size()) return false;
     info->kind = descr[i++];
     info->itemsize = atoi(descr.c_str() + i);
+    if (info->itemsize <= 0 || info->itemsize > 16) return false;
   }
   info->fortran = hdr.find("'fortran_order': True") != std::string::npos;
 
   size_t spos = hdr.find("'shape'");
   if (spos == std::string::npos) return false;
-  size_t p1 = hdr.find('(', spos), p2 = hdr.find(')', p1);
+  size_t p1 = hdr.find('(', spos);
+  size_t p2 = p1 == std::string::npos ? std::string::npos : hdr.find(')', p1);
+  if (p2 == std::string::npos) return false;
   std::string tup = hdr.substr(p1 + 1, p2 - p1 - 1);
   const char* s = tup.c_str();
   while (*s) {
     while (*s == ' ' || *s == ',') s++;
     if (!*s) break;
-    info->shape.push_back(strtoll(s, (char**)&s, 10));
+    char* end = nullptr;
+    long long v = strtoll(s, &end, 10);
+    // a token strtoll can't consume means a corrupt header — bail instead
+    // of spinning forever on the same character (fuzz-found hang)
+    if (end == s || v < 0) return false;
+    s = end;
+    info->shape.push_back(v);
   }
   return true;
 }
@@ -333,6 +339,12 @@ static int npz_read_f32_impl(const char* path, const char* member, float* out,
     count *= info.shape[i];
   }
   int ndim = (int)info.shape.size();
+  // the claimed shape must fit the actual payload bytes — checked before
+  // the probe return so a corrupt header can neither trigger an
+  // out-of-bounds read here nor a giant np.empty on the Python side
+  if (info.payload_offset > npy_len) return -5;
+  int64_t avail = (int64_t)(npy_len - info.payload_offset);
+  if (info.itemsize <= 0 || count > avail / info.itemsize) return -5;
   if (!out) return ndim;
   if (count > out_capacity) return -7;
   if (!to_float32(npy + info.payload_offset, info, count, out)) return -8;

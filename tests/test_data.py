@@ -219,3 +219,46 @@ def test_native_loader_rejects_corrupt_and_overdeep_files(tmp_path):
     # batch path: one bad file -> clean failure, process survives
     assert native.load_batch_f32([ok, corrupt], 3, 4, 1,
                                  normalize=False) is None
+
+
+def test_native_loader_fuzz_random_mutations(tmp_path):
+    """Random byte flips over a valid npz must never hang or crash the
+    reader (fuzz-found: a corrupt shape tuple spun strtoll forever; a
+    shape larger than the payload read out of bounds)."""
+    from domain_transfer_gan_tpu.data import native
+    if not native.native_available():
+        pytest.skip("native library not built")
+    rng = np.random.RandomState(0)
+    src = str(tmp_path / "fz.npz")
+    np.savez(src, data=rng.rand(8, 8, 3).astype(np.float32))
+    blob = bytearray(open(src, "rb").read())
+    mut = str(tmp_path / "fz_mut.npz")
+    for _ in range(150):
+        b = bytearray(blob)
+        for _ in range(rng.randint(1, 8)):
+            b[rng.randint(len(b))] = rng.randint(256)
+        open(mut, "wb").write(bytes(b))
+        native.read_npz_f32(mut)  # any result is fine; returning is the test
+
+
+def test_native_loader_rejects_shape_payload_mismatch(tmp_path):
+    """A header whose shape claims more elements than the payload holds
+    must be rejected (OOB-read guard), and garbage in the shape tuple must
+    error instead of looping."""
+    from domain_transfer_gan_tpu.data import native
+    if not native.native_available():
+        pytest.skip("native library not built")
+    p = str(tmp_path / "x.npy")
+    np.save(p, np.zeros((4, 4), np.float32))
+    blob = bytearray(open(p, "rb").read())
+    hdr = bytes(blob).find(b"(4, 4)")
+    oversize = bytes(blob).replace(b"(4, 4)", b"(444444, 4)" + b" " * 0)
+    # keep header length fields consistent: only same-length rewrites
+    same_len = bytes(blob).replace(b"(4, 4)", b"(4,44)")
+    open(str(tmp_path / "big.npy"), "wb").write(same_len)
+    out = native.read_npz_f32(str(tmp_path / "big.npy"))
+    assert out is None  # 4*44 elements > 16-element payload
+    garbage = bytes(blob).replace(b"(4, 4)", b"(4, x)")
+    open(str(tmp_path / "bad.npy"), "wb").write(garbage)
+    assert native.read_npz_f32(str(tmp_path / "bad.npy")) is None
+    assert hdr > 0
