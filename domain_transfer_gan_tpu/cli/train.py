@@ -119,7 +119,8 @@ def train_model(opt: TrainConfig = None, argv=None):
         _force_host_devices(opt.host_devices)
     if getattr(opt, "check_numerics", 0):
         jax.config.update("jax_debug_nans", True)
-    if getattr(opt, "coordinator", "") or getattr(opt, "num_processes", 0) > 1:
+    if (getattr(opt, "coordinator", "") or getattr(opt, "num_processes", 0) > 1
+            or getattr(opt, "process_id", -1) >= 0):
         # Multi-host SPMD: join the cluster (parallel/multihost.py), then
         # keep the single-writer artifact contract — non-primary hosts
         # write their artifact copies into a per-rank scratch subdir (safe

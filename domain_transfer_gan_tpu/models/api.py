@@ -206,13 +206,13 @@ class _CycleGANBase:
         payload = self._ckpt_payload()
         if jax.process_count() > 1:
             # multi-host: tensor-sharded params/moments span non-addressable
-            # devices — gather every leaf to the host before serializing
-            # (parallel.multihost.to_host is a no-op for replicated leaves);
+            # devices — gather the tree to the host in ONE compiled program
+            # (replicated leaves are fetched as-is, no collective);
             # the gathered host tree then goes through the SAME backend
             # dispatch below, so --ckpt_backend orbax + async_save are
             # honored in multi-host runs too
-            from ..parallel.multihost import to_host
-            payload = jax.tree_util.tree_map(to_host, payload)
+            from ..parallel.multihost import to_host_tree
+            payload = to_host_tree(payload)
         if getattr(self.opt, "ckpt_backend", "flax") == "orbax":
             self._orbax().save(chk_path, payload, async_save=async_save)
             return

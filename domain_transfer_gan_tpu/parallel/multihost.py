@@ -38,7 +38,8 @@ import numpy as np
 
 import jax
 
-__all__ = ["initialize", "is_primary", "process_count", "to_host"]
+__all__ = ["initialize", "is_primary", "process_count", "to_host",
+           "to_host_tree"]
 
 
 def initialize(coordinator: str = "", num_processes: int = 0,
@@ -52,8 +53,8 @@ def initialize(coordinator: str = "", num_processes: int = 0,
     if coordinator == "auto":
         jax.distributed.initialize()
         return
-    if not coordinator and num_processes <= 1:
-        return  # single-process
+    if not coordinator and num_processes <= 1 and process_id < 0:
+        return  # single-process (process_id >= 0 proves multi-host intent)
     # Manual cluster: all three must be given — a partial spec silently
     # running single-process would leave every host believing it is
     # primary and clobbering the same artifact dir on a shared FS.
@@ -99,3 +100,26 @@ def to_host(x) -> np.ndarray:
     from jax.sharding import NamedSharding, PartitionSpec
     rep = NamedSharding(x.sharding.mesh, PartitionSpec())
     return np.asarray(_gather_fn(rep)(x))
+
+
+def to_host_tree(tree):
+    """to_host over a whole pytree with ONE compiled gather program.
+
+    Per-leaf to_host calls dispatch one XLA collective per parameter/
+    moment leaf (hundreds per checkpoint save); here every cross-host
+    leaf rides a single jitted identity with replicated out_shardings,
+    then each is fetched locally."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    local = [(not isinstance(x, jax.Array) or x.is_fully_addressable
+              or x.sharding.is_fully_replicated) for x in leaves]
+    remote_idx = [i for i, loc in enumerate(local) if not loc]
+    if remote_idx:
+        from jax.sharding import NamedSharding, PartitionSpec
+        remote = [leaves[i] for i in remote_idx]
+        rep = tuple(NamedSharding(x.sharding.mesh, PartitionSpec())
+                    for x in remote)
+        gathered = jax.jit(lambda xs: xs, out_shardings=rep)(tuple(remote))
+        for i, g in zip(remote_idx, gathered):
+            leaves[i] = g
+    return jax.tree_util.tree_unflatten(
+        treedef, [np.asarray(x) for x in leaves])

@@ -4,4 +4,4 @@ from .artifacts import (
     format_log,
     copy_scripts_to_folder,
 )
-from .profiling import StepTimer, maybe_profile
+from .profiling import StepTimer

@@ -11,10 +11,16 @@ import shutil
 
 
 def save_results(expr_dir: str, results_dict: dict):
-    """-> results.json (reference train.py:22-26)."""
+    """-> results.json (reference train.py:22-26).
+
+    Written atomically: this file is rewritten every eval, and a crash
+    mid-write would otherwise leave truncated JSON that bricks the
+    --continue_train resume path."""
     fname = os.path.join(expr_dir, "results.json")
-    with open(fname, "w") as f:
+    tmp = fname + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(results_dict, f, indent=4)
+    os.replace(tmp, fname)
 
 
 def copy_scripts_to_folder(expr_dir: str, src_dir: str = None):

@@ -3,17 +3,14 @@ wall-clock-only timing (reference train.py:172,243,307-308; SURVEY.md §5).
 
 - :class:`StepTimer` measures steady-state step time without forcing device
   syncs every iteration (syncs only when a window closes).
-- :func:`maybe_profile` wraps a region in a jax.profiler trace when a
-  profile directory is configured (xprof/tensorboard-compatible).
+
+(The --profile_dir jax.profiler window lives in cli/train.py, which traces
+a bounded mid-run step window rather than a whole region.)
 """
 
 from __future__ import annotations
 
-import contextlib
 import time
-from typing import Optional
-
-import jax
 
 
 class StepTimer:
@@ -51,11 +48,3 @@ class StepTimer:
         self.reset()
         return out
 
-
-@contextlib.contextmanager
-def maybe_profile(profile_dir: Optional[str]):
-    if profile_dir:
-        with jax.profiler.trace(profile_dir):
-            yield
-    else:
-        yield

@@ -163,18 +163,39 @@ def test_two_process_matches_single(tmp_path):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers set their own 4-device platform
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # worker output goes to FILES, not pipes: a chatty rank can fill the
+    # ~64KB pipe buffer while the test still waits on the other rank,
+    # blocking its write() mid-step and deadlocking both sides of the
+    # collective until the timeout — and files survive a timeout kill, so
+    # the diagnostics below always have something to show
+    import time
+    logs = [tmp_path / f"rank{r}.log" for r in (0, 1)]
+    fhs = [open(str(l), "wb") for l in logs]
     procs = [subprocess.Popen(
         [sys.executable, str(worker), str(r), "2", str(port), str(outfile)],
-        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        env=env, cwd=REPO, stdout=fhs[r], stderr=subprocess.STDOUT)
         for r in (0, 1)]
+    timed_out = []
     try:
-        outs = [p.communicate(timeout=1500)[0].decode() for p in procs]
+        deadline = time.monotonic() + 1500
+        for r, p in enumerate(procs):
+            try:
+                p.wait(timeout=max(1.0, deadline - time.monotonic()))
+            except subprocess.TimeoutExpired:
+                timed_out.append(r)
     finally:
-        # a timed-out communicate leaves live workers behind — reap them
-        # or they starve every later compile on this core
+        # timed-out/live workers must be reaped or they starve every
+        # later compile on this core
         for p in procs:
             if p.poll() is None:
                 p.kill()
+                p.wait()
+        for fh in fhs:
+            fh.close()
+    outs = [l.read_text() for l in logs]
+    assert not timed_out, "\n\n".join(
+        [f"ranks {timed_out} timed out after 1500s"] +
+        [f"=== rank {r} output ===\n{o}" for r, o in enumerate(outs)])
     # report every failed rank, not just the first: the root cause is often
     # an exception on one rank whose atexit hits the shutdown barrier early
     # and only *kills* the other — the first-failing output is the victim's
@@ -204,4 +225,9 @@ def test_initialize_rejects_partial_flags():
         multihost.initialize("", 2, 0)                 # no coordinator
     with pytest.raises(ValueError):
         multihost.initialize("10.0.0.1:1234", 2, 5)    # bad rank
+    with pytest.raises(ValueError):
+        # process_id alone proves multi-host intent: silently running
+        # single-process would leave this rank clobbering the primary's
+        # artifact dir on a shared FS
+        multihost.initialize("", 0, 1)
     multihost.initialize("", 0, -1)  # single-process no-op

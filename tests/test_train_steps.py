@@ -13,11 +13,13 @@ from domain_transfer_gan_tpu.models import create_model
 
 def tiny_cfg(**kw):
     base = dict(model="aug_cycle_gan", grid_size=64, ngf=4, nef=4, ndf=4,
-                nlatent=8, batchSize=2, use_pallas=False, monitor_gnorm=True,
-                expr_dir="")
+                nlatent=8, batchSize=2, use_pallas=False, monitor_gnorm=True)
     base.update(kw)
-    cfg = TrainConfig(**{k: v for k, v in base.items() if k != "expr_dir"})
-    cfg.expr_dir = ""
+    # expr_dir is post-parse state, not a TrainConfig field — honor the
+    # kwarg instead of silently replacing it with ''
+    expr_dir = base.pop("expr_dir", "")
+    cfg = TrainConfig(**base)
+    cfg.expr_dir = expr_dir
     return cfg
 
 
