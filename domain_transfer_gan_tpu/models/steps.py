@@ -268,8 +268,8 @@ def make_aug_train_step(nets, cfg: TrainConfig):
     concat_d = cfg.norm != "batch"
 
     def posterior(e_params, e_stats, a_img, b_img, eps):
-        """E_B posterior of z given (A-ish, B); returns (z, mu, logvar_eff,
-        raw logvar, updated stats)."""
+        """E_B posterior of z given (A-ish, B); returns (z, mu, raw logvar,
+        logvar_eff, updated stats)."""
         enc_in = jnp.concatenate([a_img, b_img], axis=-1) if enc_A_B else b_img
         (mu, logvar), st = apply_net(nets["netE_B"], e_params, e_stats, enc_in)
         if stoch_enc:
@@ -485,6 +485,11 @@ def make_aug_supervised_step(nets, cfg: TrainConfig):
                 logvar_eff = logvar * 0.0
             return z, mu, logvar_eff, st
 
+        # g_loss_fn recomputes this exact encoder forward as its grad
+        # primal; XLA CSE merges the two (measured: the compiled step
+        # carries only the grad-primal's convs), so no vjp-sharing is
+        # needed here — unlike the main steps, whose phase-2 re-scores
+        # fakes under UPDATED discriminator params/stats.
         post_z, _, _, st_E0 = enc_forward(p["netE_B"], stats["netE_B"])
 
         # D_z_B phase

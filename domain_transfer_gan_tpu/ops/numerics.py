@@ -9,8 +9,8 @@ is preserved because it changes training dynamics.
 
 from __future__ import annotations
 
+import functools
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -69,19 +69,53 @@ def kld_std_gauss(mu, log_var):
     return -0.5 * jnp.sum(log_var + 1.0 - mu ** 2 - jnp.exp(log_var), axis=1)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _bce_probs_torchlike(p: jax.Array, target_is_real: bool) -> jax.Array:
+    """Elementwise BCE on sigmoid probabilities with torch's exact
+    saturation semantics (aten binary_cross_entropy):
+
+    - forward: log terms clamped at -100 (loss <= 100 per element);
+    - backward: (p - t) / max(p * (1 - p), 1e-12) — huge but FINITE at
+      the boundaries, which the train step's torch-style grad clipping
+      then tames (reference model.py:159-160).
+
+    A clipped-probability formulation instead NaNs in bfloat16 (1 - 1e-7
+    rounds to 1.0, then 0 * log(0)) and gives an exactly-zero gradient
+    for saturated predictions in fp32 — a generator facing a saturated
+    discriminator would receive no adversarial signal at all, unlike any
+    torch BCE baseline."""
+    t = 1.0 if target_is_real else 0.0
+    log_p = jnp.maximum(jnp.log(p), -100.0)
+    log_1mp = jnp.maximum(jnp.log1p(-p), -100.0)
+    return -(t * log_p + (1.0 - t) * log_1mp)
+
+
+def _bce_fwd(p, target_is_real):
+    return _bce_probs_torchlike(p, target_is_real), p
+
+
+def _bce_bwd(target_is_real, p, g):
+    t = 1.0 if target_is_real else 0.0
+    grad = (p - t) / jnp.maximum(p * (1.0 - p), 1e-12)
+    return (g * grad,)
+
+
+_bce_probs_torchlike.defvjp(_bce_fwd, _bce_bwd)
+
+
 def criterion_gan(pred: jax.Array, target_is_real: bool, use_sigmoid: bool) -> jax.Array:
     """GAN criterion (reference model.py:56-72).
 
     LSGAN (default, use_sigmoid=False): MSE against 0/1 targets.
-    Vanilla (use_sigmoid=True): BCE on sigmoid *probabilities* — the nets end
-    in a Sigmoid in this mode.  The reference's BCE branch had a dtype bug
-    (long targets, quirk Q4); fixed here with float targets and a clipped log
-    for numerical safety.
-    """
-    target = jnp.ones_like(pred) if target_is_real else jnp.zeros_like(pred)
+    Vanilla (use_sigmoid=True): BCE on sigmoid *probabilities* — the nets
+    end in a Sigmoid in this mode, and the loss reproduces torch
+    F.binary_cross_entropy exactly, including its saturation clamps (the
+    reference's long-target dtype bug, quirk Q4, stays fixed: targets are
+    float).  Computed in float32 regardless of compute_dtype."""
     if use_sigmoid:
-        p = jnp.clip(pred, 1e-7, 1.0 - 1e-7)
-        return -jnp.mean(target * jnp.log(p) + (1.0 - target) * jnp.log1p(-p))
+        p = pred.astype(jnp.float32)
+        return jnp.mean(_bce_probs_torchlike(p, bool(target_is_real)))
+    target = jnp.ones_like(pred) if target_is_real else jnp.zeros_like(pred)
     return jnp.mean((pred - target) ** 2)
 
 
@@ -122,12 +156,17 @@ def nats2bpp(nats, nc: int, npx: int):
 def log_prob_gaussian_detail(z, mu, log_var, size):
     """Decomposed Gaussian log-density terms for debugging (reference
     model.py:36-43; unused by the reference's drivers, kept for inventory
-    parity).  Returns (logvar term, quadratic term, normalizer) where the
-    normalizer scales by the per-sample feature count (the reference
-    hardcoded 3*64*64 there — quirk Q5 family; derived from shape here)."""
+    parity).  ``size`` must be 3-D — the reshape/.sum(2) demands it, same
+    as the reference.  Returns (logvar term, quadratic term, normalizer)
+    where the normalizer scales by the per-sample feature count (the
+    reference hardcoded 3*64*64 there — quirk Q5 family; derived from
+    shape here)."""
+    if len(size) != 3:
+        raise ValueError("size must be 3-D (batch, groups, feat), got %r"
+                         % (size,))
     res1 = (-0.5 * log_var).reshape(size).sum(2).mean(1).mean(0)
     res2 = (-(z - mu) ** 2.0 / (2.0 * jnp.exp(log_var))
             ).reshape(size).sum(2).mean(1).mean(0)
-    feat = z.size // (size[0] * size[1]) if len(size) > 2 else 1
+    feat = z.size // (size[0] * size[1])
     res3 = -0.5 * math.log(2 * math.pi) * feat
     return res1, res2, res3

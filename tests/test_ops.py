@@ -100,6 +100,34 @@ def test_criterion_gan_bce_matches_torch():
         assert np.isclose(got, want, rtol=1e-4)
 
 
+def test_criterion_gan_bce_saturation_matches_torch():
+    """Value AND gradient reproduce torch's aten clamps at saturated
+    probabilities (forward log >= -100, backward (p-t)/max(p(1-p),1e-12)):
+    a clipped-probability BCE instead gives zero gradient at saturation
+    (no adversarial signal for G once D saturates) and NaN in bfloat16."""
+    import torch
+    import torch.nn.functional as F
+    grid = np.array([0.0, 1e-9, 1e-7, 0.01, 0.5, 0.9, 1 - 1e-7, 1.0],
+                    dtype=np.float32)
+    for real in (True, False):
+        tp = torch.tensor(grid, requires_grad=True)
+        tl = F.binary_cross_entropy(
+            tp, (torch.ones if real else torch.zeros)(len(grid)))
+        tl.backward()
+        f = lambda p: criterion_gan(p, real, use_sigmoid=True)
+        assert np.isclose(float(f(jnp.asarray(grid))), float(tl.detach()),
+                          rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(jax.grad(f)(jnp.asarray(grid))),
+                                   tp.grad.numpy(), rtol=1e-4)
+    # bfloat16 inputs (the headline TPU mode): finite everywhere
+    bg = jnp.asarray(grid, jnp.bfloat16)
+    for real in (True, False):
+        f = lambda p: criterion_gan(p, real, use_sigmoid=True)
+        assert np.isfinite(float(f(bg)))
+        assert np.all(np.isfinite(
+            np.asarray(jax.grad(f)(bg)).astype(np.float32)))
+
+
 def test_clip_grads_torch_semantics():
     g = {"w": jnp.full((10,), 3.0)}
     clipped, norm = clip_grads_torchlike(g, max_norm=1.0)
