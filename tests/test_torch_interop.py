@@ -753,3 +753,106 @@ def test_cross_framework_variational_ubo_parity(tmp_path):
     assert abs(float(j_ubo) - t_ubo) < 120.0, (float(j_ubo), t_ubo)
     assert abs(float(j_kld) - t_kld) < 3.0, (float(j_kld), t_kld)
     assert abs(float(j_bpp) - t_bpp) < 0.02, (float(j_bpp), t_bpp)
+
+
+def test_cross_framework_step_dynamics_parity_sigmoid_bce(tmp_path):
+    """Two-step dynamics parity in the vanilla-GAN mode (--no_lsgan:
+    sigmoid discriminator heads + BCE, reference model.py:56-64): the
+    same identical-weights/inputs protocol as the LSGAN test, exercising
+    the torch-exact BCE (ops/numerics._bce_probs_torchlike) inside the
+    full two-phase step, through one Adam update.
+
+    The fixture D nets emit logits; the torch oracle applies sigmoid
+    manually exactly where the reference's use_sigmoid nets place their
+    nn.Sigmoid head, so the imported checkpoint (sigmoid adds no params)
+    drives both frameworks from identical weights."""
+    import itertools
+
+    import torch.nn.functional as F
+
+    nets = build_reference_nets(zdim=ZDIM, ngf=8, ndf=8, nef=8, seed=33)
+    ckpt = reference_checkpoint(nets, aug=True, adam_steps=0)
+    path = str(tmp_path / "latest")
+    torch.save(ckpt, path)
+    cfg = TrainConfig(model="aug_cycle_gan", grid_size=64, ngf=8, ndf=8,
+                      nef=8, nlatent=ZDIM, batchSize=4, monitor_gnorm=False,
+                      no_lsgan=True, seed=0)
+    cfg.expr_dir = ""
+    assert cfg.use_sigmoid
+    model = create_model(cfg, testing=True)
+    import_torch_checkpoint(path, model)
+
+    rng = np.random.RandomState(29)
+    A = rng.uniform(-1, 1, (4, 3, 64, 64)).astype(np.float32)
+    B = rng.uniform(-1, 1, (4, 3, 64, 64)).astype(np.float32)
+    zs = [rng.randn(4, ZDIM).astype(np.float32) for _ in range(2)]
+
+    for net in nets.values():
+        net.train()
+    adam = lambda params, lr: torch.optim.Adam(params, lr=lr,
+                                               betas=(0.5, 0.999))
+    optG_A = adam(nets["netG_B_A"].parameters(), 2e-4)
+    optG_B = adam(itertools.chain(nets["netG_A_B"].parameters(),
+                                  nets["netE_B"].parameters()), 2e-4)
+    optD_A = adam(nets["netD_A"].parameters(), 2e-4 / 5)
+    optD_B = adam(itertools.chain(nets["netD_B"].parameters(),
+                                  nets["netD_z_B"].parameters()), 2e-4 / 5)
+
+    def bce(p, real):
+        t = torch.ones_like(p) if real else torch.zeros_like(p)
+        return F.binary_cross_entropy(p, t)
+
+    def torch_step(z2d):
+        tA, tB = torch.from_numpy(A), torch.from_numpy(B)
+        z = torch.from_numpy(z2d)[:, :, None, None]
+        sig = torch.sigmoid
+        l1f = F.l1_loss
+        fake_B = nets["netG_A_B"](tA, z)
+        fake_A = nets["netG_B_A"](tB)
+        mu, _ = nets["netE_B"](torch.cat([fake_A, tB], 1))
+        post_z = mu[:, :, None, None]
+        d_a = 0.5 * (bce(sig(nets["netD_A"](fake_A.detach())), False)
+                     + bce(sig(nets["netD_A"](tA)), True))
+        d_b = 0.5 * (bce(sig(nets["netD_B"](fake_B.detach())), False)
+                     + bce(sig(nets["netD_B"](tB)), True))
+        d_z = 0.5 * (bce(sig(nets["netD_z_B"](post_z.detach().flatten(1))),
+                         False)
+                     + bce(sig(nets["netD_z_B"](z.flatten(1))), True))
+        optD_A.zero_grad()
+        optD_B.zero_grad()
+        (d_a + d_b + d_z).backward()
+        for m in ("netD_A", "netD_B", "netD_z_B"):
+            torch.nn.utils.clip_grad_norm_(nets[m].parameters(), 500.0)
+        optD_A.step()
+        optD_B.step()
+        g_a = bce(sig(nets["netD_A"](fake_A)), True)
+        g_b = bce(sig(nets["netD_B"](fake_B)), True)
+        g_z = bce(sig(nets["netD_z_B"](post_z.flatten(1))), True)
+        rec_A = nets["netG_B_A"](fake_B)
+        cyc_A = l1f(rec_A, tA)
+        mu2, _ = nets["netE_B"](torch.cat([tA, fake_B], 1))
+        cyc_z = l1f(mu2, z.flatten(1))
+        rec_B = nets["netG_A_B"](fake_A, post_z)
+        cyc_B = l1f(rec_B, tB)
+        lg = g_a + g_b + g_z + cyc_A + cyc_B + 0.025 * cyc_z
+        optG_A.zero_grad()
+        optG_B.zero_grad()
+        lg.backward()
+        for m in ("netG_A_B", "netG_B_A", "netE_B"):
+            torch.nn.utils.clip_grad_norm_(nets[m].parameters(), 500.0)
+        optG_A.step()
+        optG_B.step()
+        return dict(D_A=float(d_a), D_B=float(d_b), D_z_B=float(d_z),
+                    G_A=float(g_a), G_B=float(g_b), Cyc_A=float(cyc_A),
+                    Cyc_B=float(cyc_B), Cyc_z_B=float(cyc_z))
+
+    Aj = np.ascontiguousarray(np.transpose(A, (0, 2, 3, 1)))
+    Bj = np.ascontiguousarray(np.transpose(B, (0, 2, 3, 1)))
+    tols = [dict(rtol=2e-3, atol=2e-4),   # step 1: pure forward parity
+            dict(rtol=3e-2, atol=3e-3)]   # step 2: through one Adam update
+    for i, z2d in enumerate(zs):
+        t_losses = torch_step(z2d)
+        j_losses = model.train_instance(Aj, Bj, z2d)[0]
+        for k, v in t_losses.items():
+            assert np.isclose(float(j_losses[k]), v, **tols[i]), \
+                (i, k, float(j_losses[k]), v)
