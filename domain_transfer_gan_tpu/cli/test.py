@@ -24,7 +24,12 @@ from ..eval import (
     sensitivity_to_edge_noise,
     train_logvar,
 )
-from ..eval.visualize import interleave_columns, save_image_grid
+from ..eval.visualize import (
+    inference_grid,
+    interleave_columns,
+    multi_grid,
+    save_image_grid,
+)
 from ..models import create_model
 
 
@@ -60,42 +65,26 @@ def visualize_cycle_B_multi(opt, real_B, model, name="cycle_B_multi_test.png"):
 
 
 def visualize_multi(opt, real_A, model, name="multi_test.png"):
-    real_A = jnp.asarray(real_A)
-    n = real_A.shape[0]
-    z_set = model.sample_prior_z(opt.num_multi)
-    multi_z = jnp.tile(z_set, (n, 1))
-    multi_fake_B = np.asarray(model.generate_multi(real_A, multi_z))
-    # reshape with the GENERATED shape — output_nc can differ from input_nc
-    # (e.g. climate: 4-channel forcings -> 1-channel SWE)
-    multi_fake_B = multi_fake_B.reshape((n, opt.num_multi)
-                                        + multi_fake_B.shape[1:])
-    cols = [np.asarray(real_A)] + [multi_fake_B[:, i]
-                                   for i in range(opt.num_multi)]
-    grid = interleave_columns([one_to_three_channels(c[..., :3])
-                               for c in cols])
+    """Shared grid body with the train CLI (eval.visualize.multi_grid)."""
+    grid = multi_grid(opt, real_A, model)
     save_image_grid(grid, os.path.join(opt.res_dir, name),
                     nrow=opt.num_multi + 1)
 
 
 def visualize_inference(opt, real_A, real_B, model, name="inf_test.png"):
-    real_A = jnp.asarray(real_A)
-    real_B = jnp.asarray(real_B)[:opt.num_multi]
-    n = real_A.shape[0]
-    num = real_B.shape[0]
-    multi_fake_B = np.asarray(model.inference_multi(real_A, real_B))
-    multi_fake_B = multi_fake_B.reshape((n, num) + multi_fake_B.shape[1:])
-    cols = [np.asarray(real_A)] + [multi_fake_B[:, i] for i in range(num)]
-    body = interleave_columns([one_to_three_channels(c[..., :3])
-                               for c in cols])
-    header = np.concatenate(
-        [np.ones((1,) + body.shape[1:], body.dtype),
-         one_to_three_channels(np.asarray(real_B)[..., :3])], axis=0)
-    grid = np.concatenate([header, body], axis=0)
+    """Shared grid body with the train CLI (eval.visualize.inference_grid)."""
+    grid, num = inference_grid(opt, real_A, real_B, model)
     save_image_grid(grid, os.path.join(opt.res_dir, name), nrow=num + 1)
 
 
 def test_model(argv=None):
     topt = TestOptions().parse(argv)
+    if getattr(topt, "host_devices", 0):
+        # force a CPU platform BEFORE anything touches the backend (same
+        # rationale as the train CLI: env vars are rewritten at interpreter
+        # startup in some environments; the programmatic route wins)
+        from .train import _force_host_devices
+        _force_host_devices(topt.host_devices)
     # global eval seeding (reference test.py:209-213 seeds random/np/torch
     # to 12345): the UnalignedIterator permutations feeding train_logvar
     # draw from np.random, so without this repeated --metric bpp
@@ -128,12 +117,16 @@ def test_model(argv=None):
         dev_dataset = AlignedIterator(devA, devB, batch_size=200)
     else:
         from ..data import DataLoader
+        # load_in_mem=False: construction stays cheap (len comes from the
+        # file lists) and each metric branch only pays the per-image
+        # resize/transform for the split(s) it actually iterates
         train_dataset = DataLoader(opt, subset="train", unaligned=True,
-                                   batchSize=200, fraction=0.2)
+                                   batchSize=200, fraction=0.2,
+                                   load_in_mem=False)
         test_dataset = DataLoader(opt, subset="val", unaligned=False,
-                                  batchSize=200)
+                                  batchSize=200, load_in_mem=False)
         dev_dataset = DataLoader(opt, subset="dev", unaligned=False,
-                                 batchSize=200)
+                                 batchSize=200, load_in_mem=False)
     print("#training images = %d" % len(train_dataset))
     print("#test images = %d" % len(test_dataset))
     print("#dev images = %d" % len(dev_dataset))
@@ -171,7 +164,7 @@ def test_model(argv=None):
         else:
             from ..data import DataLoader
             dev_vis = DataLoader(opt, subset="dev", unaligned=False,
-                                 batchSize=n_vis)
+                                 batchSize=n_vis, load_in_mem=False)
         for i, vis_data in enumerate(dev_vis):
             real_A, real_B = vis_data["A"], vis_data["B"]
             # the dev split may be smaller than n_vis — size z to the batch
@@ -230,7 +223,10 @@ def test_model(argv=None):
         print("Z_DIV_RATIO: %.4f (intra %.4f / inter %.4f)"
               % (div["ratio"], div["intra_z"], div["inter_input"]))
         with open(os.path.join(opt.res_dir, "z_diversity.json"), "w") as f:
-            json.dump(div, f, indent=2)
+            # strict JSON: a 1-sample dev batch yields inter/ratio = nan,
+            # and json.dump would emit a bare NaN token
+            json.dump({k: (v if np.isfinite(v) else None)
+                       for k, v in div.items()}, f, indent=2)
     else:
         raise NotImplementedError("wrong metric!")
 

@@ -26,7 +26,12 @@ from ..data import (
     load_numpy_data,
 )
 from ..eval import eval_mse_A, eval_ubo_B, one_to_three_channels
-from ..eval.visualize import interleave_columns, save_image_grid
+from ..eval.visualize import (
+    inference_grid,
+    interleave_columns,
+    multi_grid,
+    save_image_grid,
+)
 from ..models import create_model
 from ..parallel import DataParallel, multihost, prefetch_to_device
 from ..utils import StepTimer, copy_scripts_to_folder, format_log, print_log, \
@@ -45,38 +50,19 @@ def visualize_cycle(opt, real_A, visuals, eidx, uidx, train):
 
 
 def visualize_multi(opt, real_A, model, eidx, uidx):
-    """Same z-set across the batch (reference train.py:61-74)."""
-    real_A = jnp.asarray(real_A)
-    n = real_A.shape[0]
-    z_set = jax.random.normal(model.next_key(), (opt.num_multi, opt.nlatent))
-    multi_z = jnp.tile(z_set, (n, 1))
-    multi_fake_B = multihost.to_host(model.generate_multi(real_A, multi_z))
-    multi_fake_B = multi_fake_B.reshape((n, opt.num_multi) +
-                                        multi_fake_B.shape[1:])
-    cols = [multihost.to_host(real_A)] + [multi_fake_B[:, i]
-                                   for i in range(opt.num_multi)]
-    grid = interleave_columns([one_to_three_channels(c[..., :3])
-                               for c in cols])
+    """Same z-set across the batch (reference train.py:61-74); the grid
+    body is shared with the test CLI (eval.visualize.multi_grid)."""
+    grid = multi_grid(opt, real_A, model, to_host=multihost.to_host)
     save_path = os.path.join(opt.vis_multi, "multi_%02d_%04d.png" % (eidx, uidx))
     save_image_grid(grid, save_path, nrow=opt.num_multi + 1)
     copyfile(save_path, os.path.join(opt.vis_latest, "multi.png"))
 
 
 def visualize_inference(opt, real_A, real_B, model, eidx, uidx):
-    """Posterior-z transfer grid (reference train.py:76-94)."""
-    real_A = jnp.asarray(real_A)
-    real_B = jnp.asarray(real_B)[:opt.num_multi]
-    n = real_A.shape[0]
-    num = real_B.shape[0]  # may be < num_multi on small dev sets
-    multi_fake_B = multihost.to_host(model.inference_multi(real_A, real_B))
-    multi_fake_B = multi_fake_B.reshape((n, num) + multi_fake_B.shape[1:])
-    cols = [multihost.to_host(real_A)] + [multi_fake_B[:, i] for i in range(num)]
-    body = interleave_columns([one_to_three_channels(c[..., :3])
-                               for c in cols])
-    header = np.concatenate([np.ones((1,) + body.shape[1:], body.dtype),
-                             one_to_three_channels(multihost.to_host(real_B)[..., :3])],
-                            axis=0)
-    grid = np.concatenate([header, body], axis=0)
+    """Posterior-z transfer grid (reference train.py:76-94); shared body
+    (eval.visualize.inference_grid)."""
+    grid, num = inference_grid(opt, real_A, real_B, model,
+                               to_host=multihost.to_host)
     save_path = os.path.join(opt.vis_inf, "inf_%02d_%04d.png" % (eidx, uidx))
     save_image_grid(grid, save_path, nrow=num + 1)
     copyfile(save_path, os.path.join(opt.vis_latest, "inf.png"))

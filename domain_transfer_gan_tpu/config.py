@@ -301,6 +301,9 @@ class TestConfig:
     #                          extractor (eval.fid.save_extractor) — e.g.
     #                          real Inception features; default: the
     #                          fixed-seed random-feature proxy
+    host_devices: int = 0    # >0: force an N-virtual-device CPU platform
+    #                          (evaluate without the accelerator; env vars
+    #                          are unreliable in some environments)
 
 
 class TestOptions:
@@ -317,6 +320,7 @@ class TestOptions:
         self.parser.add_argument("--use_ema", type=int, choices=[0, 1],
                                  default=0)
         self.parser.add_argument("--fid_extractor", type=str, default="")
+        self.parser.add_argument("--host_devices", type=int, default=0)
 
     def parse(self, args=None) -> TestConfig:
         ns = self.parser.parse_args(args)

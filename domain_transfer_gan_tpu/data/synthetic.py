@@ -49,9 +49,16 @@ def write_synthetic_dataset(root: str, n_train: int = 256, n_test: int = 64,
 def write_synthetic_perfile_dataset(root: str, n_train: int = 32,
                                     n_test: int = 8, size: int = 64,
                                     channels: int = 3, seed: int = 0):
-    """Write per-sample .npz files under {trainA,trainB,testA,testB}/."""
+    """Write per-sample .npz files under {trainA,trainB,testA,testB}/.
+
+    Values are stored in [0, 1]: the per-file loader's default_transform
+    maps floats with ToTensor semantics ((x - .5)/.5 -> [-1, 1]), so
+    storing B's native ~[-1, 1] range would land 'real' B in ~[-3, 1],
+    outside the generator's tanh output range."""
     trA, trB = make_synthetic_pair(n_train, size, channels, seed)
     teA, teB = make_synthetic_pair(n_test, size, channels, seed + 1)
+    trB = np.clip((trB + 1.0) / 2.0, 0.0, 1.0)
+    teB = np.clip((teB + 1.0) / 2.0, 0.0, 1.0)
     for sub, arr in (("trainA", trA), ("trainB", trB),
                      ("testA", teA), ("testB", teB)):
         d = os.path.join(root, sub)

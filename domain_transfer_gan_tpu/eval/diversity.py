@@ -45,7 +45,10 @@ def z_diversity_stats(multi_fake_B: np.ndarray, num_z: int,
     """
     multi_fake_B = np.asarray(multi_fake_B, np.float32)
     total = multi_fake_B.shape[0]
-    if num_z < 2 or total % num_z != 0:
+    if num_z < 2:
+        raise ValueError("z-diversity needs num_z >= 2 z draws per input, "
+                         "got %d" % num_z)
+    if total % num_z != 0:
         raise ValueError("multi_fake_B length %d not divisible by num_z %d"
                          % (total, num_z))
     n = total // num_z

@@ -163,15 +163,25 @@ def compute_fid(real_images, fake_images,
 
 def eval_fid_B(dataset, model, n_max: int = 2048,
                extractor: Optional[Callable] = None,
-               rng_seed: int = 0) -> float:
-    """Proxy-FID of generated B (from A with prior z) against real B."""
+               rng_seed: Optional[int] = None) -> float:
+    """Proxy-FID of generated B (from A with prior z) against real B.
+
+    With rng_seed set, the prior z draws come from a dedicated key so the
+    score is reproducible regardless of the model's RNG state; by default
+    they consume the model's stream (matching training-time draws)."""
+    import jax
     import jax.numpy as jnp
 
+    key = jax.random.PRNGKey(rng_seed) if rng_seed is not None else None
     reals, fakes = [], []
     n = 0
     for batch in dataset:
         real_A = jnp.asarray(batch["A"])
-        z = model.sample_prior_z(real_A.shape[0])
+        if key is not None:
+            key, k = jax.random.split(key)
+            z = jax.random.normal(k, (real_A.shape[0], model.opt.nlatent))
+        else:
+            z = model.sample_prior_z(real_A.shape[0])
         fake_B = model.predict_B(real_A, z)
         reals.append(np.asarray(batch["B"]))
         fakes.append(np.asarray(fake_B))

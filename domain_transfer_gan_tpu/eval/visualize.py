@@ -66,3 +66,44 @@ def visualize_data(opt, data: Sequence[np.ndarray], size, save_path: str):
     imgs = [one_to_three_channels(np.asarray(d)[..., :3]) for d in data]
     grid = interleave_columns(imgs)
     save_image_grid(grid, save_path, nrow=len(imgs))
+
+
+def multi_grid(opt, real_A, model, to_host=np.asarray) -> np.ndarray:
+    """(real_A | num_multi samples over a shared z-set) grid body shared by
+    the train and test CLIs (reference train.py:61-74 / test.py:176-190);
+    callers own the save path and the multi-host fetch policy (to_host)."""
+    import jax.numpy as jnp
+    real_A = jnp.asarray(real_A)
+    n = real_A.shape[0]
+    z_set = model.sample_prior_z(opt.num_multi)
+    multi_z = jnp.tile(z_set, (n, 1))
+    multi_fake_B = np.asarray(to_host(model.generate_multi(real_A, multi_z)))
+    # reshape with the GENERATED shape — output_nc can differ from input_nc
+    # (e.g. climate: 4-channel forcings -> 1-channel SWE)
+    multi_fake_B = multi_fake_B.reshape((n, opt.num_multi)
+                                        + multi_fake_B.shape[1:])
+    cols = [np.asarray(to_host(real_A))] + [multi_fake_B[:, i]
+                                            for i in range(opt.num_multi)]
+    return interleave_columns([one_to_three_channels(c[..., :3])
+                               for c in cols])
+
+
+def inference_grid(opt, real_A, real_B, model,
+                   to_host=np.asarray) -> np.ndarray:
+    """Posterior-z transfer grid (header row of B's + per-A rows) shared by
+    the train and test CLIs (reference train.py:76-94)."""
+    import jax.numpy as jnp
+    real_A = jnp.asarray(real_A)
+    real_B = jnp.asarray(real_B)[:opt.num_multi]
+    n = real_A.shape[0]
+    num = real_B.shape[0]  # may be < num_multi on small dev sets
+    multi_fake_B = np.asarray(to_host(model.inference_multi(real_A, real_B)))
+    multi_fake_B = multi_fake_B.reshape((n, num) + multi_fake_B.shape[1:])
+    cols = [np.asarray(to_host(real_A))] + [multi_fake_B[:, i]
+                                            for i in range(num)]
+    body = interleave_columns([one_to_three_channels(c[..., :3])
+                               for c in cols])
+    header = np.concatenate(
+        [np.ones((1,) + body.shape[1:], body.dtype),
+         one_to_three_channels(np.asarray(to_host(real_B))[..., :3])], axis=0)
+    return np.concatenate([header, body], axis=0), num
