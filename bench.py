@@ -120,7 +120,32 @@ def load_or_measure_baseline() -> dict:
     return base
 
 
+def _assert_backend_reachable(timeout: int = 300) -> None:
+    """Fail fast (and loud) when the accelerator backend can't initialize.
+
+    On this environment's tunneled TPU, a dead tunnel makes backend init
+    HANG indefinitely rather than raise — probing in a crash-isolated
+    subprocess turns a wedged bench run into an immediate clear error."""
+    import subprocess
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout)
+        if out.returncode == 0:
+            sys.stderr.write("backend: %s\n" % out.stdout.strip())
+            return
+        msg = out.stderr.strip()[-500:]
+    except subprocess.TimeoutExpired:
+        msg = "backend init did not complete within %ds (dead tunnel?)" \
+            % timeout
+    sys.stderr.write("bench aborted: accelerator backend unreachable: %s\n"
+                     % msg)
+    sys.exit(2)
+
+
 def main():
+    _assert_backend_reachable()
     res = measure_tpu()
     try:
         base = load_or_measure_baseline()
