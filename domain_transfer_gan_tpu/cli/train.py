@@ -220,20 +220,26 @@ def train_model(opt: TrainConfig = None, argv=None):
     n_dev = opt.num_devices or len(jax.devices())
     spatial = getattr(opt, "spatial", 0)
     tensor = getattr(opt, "tensor", 0)
-    per_data = max(spatial, 1) * max(tensor, 1)
+    pipe = getattr(opt, "pipeline", 0)
+    per_data = max(spatial, 1) * max(tensor, 1) * max(pipe, 1)
     data_axis_size = max(n_dev // per_data, 1)
-    if n_dev > 1 and opt.batchSize % data_axis_size != 0:
+    # with a pipe axis batches shard over ('data','pipe') jointly
+    batch_shards = data_axis_size * max(pipe, 1)
+    if n_dev > 1 and opt.batchSize % batch_shards != 0:
         print_log(out_f, "WARNING: %d devices visible but batchSize %d does "
-                  "not divide the data axis (%d) — running UNSHARDED on one "
-                  "device; --spatial/--tensor are ignored"
-                  % (n_dev, opt.batchSize, data_axis_size))
+                  "not divide the batch-sharding axes (%d) — running "
+                  "UNSHARDED on one device; --spatial/--tensor/--pipeline "
+                  "are ignored"
+                  % (n_dev, opt.batchSize, batch_shards))
     elif n_dev > 1:
         model = DataParallel(model, num_devices=n_dev, axis=opt.data_axis,
-                             spatial=spatial, tensor=tensor)
+                             spatial=spatial, tensor=tensor, pipeline=pipe,
+                             microbatches=getattr(opt, "microbatches", 0))
         desc = "data-parallel"
         if per_data > 1:
-            desc = "data x space x model %dx%dx%d" % (
-                n_dev // per_data, max(spatial, 1), max(tensor, 1))
+            desc = "data x space x model x pipe %dx%dx%dx%d" % (
+                n_dev // per_data, max(spatial, 1), max(tensor, 1),
+                max(pipe, 1))
         print_log(out_f, "SPMD over %d devices (%s)"
                   % (model.n_devices, desc))
 
@@ -286,7 +292,14 @@ def train_model(opt: TrainConfig = None, argv=None):
         # by the data axis) and even a divisible one would recompile the
         # step for a second shape — skip them up front (the UnalignedIterator
         # path never emits one thanks to its last-batch backoff).
-        n_div = mesh.shape[opt.data_axis] if mesh is not None else 1
+        if mesh is not None:
+            # model.axis is ('data','pipe') when a pipe axis is active —
+            # batches shard over the combined axes
+            _axes = model.axis if isinstance(model.axis, tuple) \
+                else (model.axis,)
+            n_div = int(np.prod([mesh.shape[a] for a in _axes]))
+        else:
+            n_div = 1
 
         def full_batches(it):
             for d in it:
@@ -297,6 +310,7 @@ def train_model(opt: TrainConfig = None, argv=None):
                 yield d
 
         feed = prefetch_to_device(full_batches(train_dataset), mesh,
+                                  axis=model.axis if is_dp else "data",
                                   space_axis=space_ax)
         for i, data in enumerate(feed):
             real_A, real_B = data["A"], data["B"]

@@ -111,6 +111,10 @@ class TrainConfig:
     #                                (data x space; GSPMD halo exchanges)
     tensor: int = 0                # >1: channel-shard params+Adam moments
     #                                over a 'model' mesh axis (tensor par.)
+    pipeline: int = 0              # >1: GPipe the generator trunks over a
+    #                                'pipe' mesh axis (parallel.pipeline);
+    #                                requires n_blocks % pipeline == 0
+    microbatches: int = 0          # pipeline microbatch count (0 = stages)
     host_devices: int = 0          # >0: force an N-virtual-device CPU
     #                                platform (drive SPMD without chips)
     dev_size: int = 200            # DEV_SIZE split (reference dataloader.py:11)
@@ -260,6 +264,8 @@ class TrainOptions:
                        default=d.resize_antialias)
         p.add_argument("--spatial", type=int, default=d.spatial)
         p.add_argument("--tensor", type=int, default=d.tensor)
+        p.add_argument("--pipeline", type=int, default=d.pipeline)
+        p.add_argument("--microbatches", type=int, default=d.microbatches)
         p.add_argument("--host_devices", type=int, default=d.host_devices)
         p.add_argument("--check_numerics", type=int, choices=[0, 1],
                        default=d.check_numerics)

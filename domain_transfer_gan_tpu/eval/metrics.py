@@ -188,8 +188,14 @@ def variational_ubo(model, real_A, real_B, steps: int, visualize: bool = False,
     # round the pad target up to a mesh multiple so the zero-weight rows
     # absorb the remainder and every chip gets an equal shard
     mesh = getattr(model, "mesh", None)
-    n_data = mesh.shape[getattr(model, "axis", "data")] if mesh is not None \
-        else 1
+    if mesh is not None:
+        # model.axis is ('data','pipe') under pipeline parallelism — the
+        # batch shards over the combined axes
+        axes = getattr(model, "axis", "data")
+        axes = axes if isinstance(axes, tuple) else (axes,)
+        n_data = int(np.prod([mesh.shape[a] for a in axes]))
+    else:
+        n_data = 1
     if mesh is not None:
         pad_to = -(-max(pad_to or n_real, n_real) // n_data) * n_data
     if pad_to is not None and n_real < pad_to:

@@ -150,6 +150,17 @@ def init_state(cfg: TrainConfig, rng: jax.Array,
     (the nets are fully convolutional except the latent encoder's flatten).
     """
     hw = image_size or cfg.grid_size
+    if hw < 64:
+        # Discriminator_edges (reference networks.py:352-393) and the latent
+        # encoder (networks.py:438-483) both run four stride-2 convs into a
+        # VALID 4x4 conv: below 64px the 4x4 head sees a <4px map and
+        # produces an empty tensor — fail here with the real reason instead
+        # of a deep flax shape error.
+        raise ValueError(
+            "grid_size/image_size must be >= 64 (got %d): the reference's "
+            "edges-discriminator and latent-encoder heads collapse a 4x"
+            "stride-2 stack into a valid 4x4 conv, which is empty below "
+            "64px" % hw)
     nets = build_networks(cfg)
     b = 2  # tiny init batch
     a_img = jnp.zeros((b, hw, hw, cfg.input_nc), jnp.float32)

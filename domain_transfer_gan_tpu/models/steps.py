@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TrainConfig
+from ..parallel import pipeline as _pipeline
 from ..ops.numerics import (
     criterion_gan,
     gauss_reparametrize_eps,
@@ -59,11 +60,21 @@ def apply_net(net, params, stats, *args, train: bool = True, rngs=None):
     variables = {"params": params}
     if stats:
         variables["batch_stats"] = stats
+    # pipeline parallelism (trace-time contextvar, parallel.pipeline):
+    # generators get their residual trunk injected as a GPipe schedule
+    # over the 'pipe' mesh axis; every other net (and inactive context)
+    # takes the normal path.
+    extra = ()
+    eng = _pipeline.active_engine()
+    if eng is not None:
+        tf = _pipeline.generator_trunk_fn(eng, net, params, train)
+        if tf is not None:
+            extra = (tf,)
     # train is passed POSITIONALLY: every net takes it as its last
     # positional arg, and flax's lifted remat (--remat) can only mark a
     # positional arg static (static_argnums has no kwarg form), so a
     # train= kwarg would crash remat-wrapped generators at trace time.
-    out, mut = net.apply(variables, *args, train,
+    out, mut = net.apply(variables, *args, train, *extra,
                          mutable=["batch_stats"], rngs=rngs)
     return out, mut.get("batch_stats", stats if stats else {})
 

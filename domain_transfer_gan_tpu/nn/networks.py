@@ -125,7 +125,11 @@ class CINResnetGenerator(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, z, train: bool = True):
+    def __call__(self, x, z, train: bool = True, trunk_fn=None):
+        # trunk_fn (trace-time injection by parallel.pipeline): when set,
+        # the n_blocks residual trunk runs through the caller's pipelined
+        # apply — same per-block math on the same params['block{i}']
+        # subtrees — instead of the sequential loop below.
         if z.ndim == 4:  # accept reference-layout (B, nlatent, 1, 1)
             z = z.reshape(z.shape[0], -1)
         cin = lambda f, name: CondInstanceNorm(
@@ -143,13 +147,17 @@ class CINResnetGenerator(nn.Module):
         h = _conv(4 * self.ngf, 3, 2, 1, True, self.init_scheme, self.dtype, "conv2")(h)
         h = cin(4 * self.ngf, "cin2")(h, z)
 
-        for i in range(self.n_blocks):
-            h = CINResnetBlock(4 * self.ngf, self.nlatent,
-                               padding_type=self.padding_type,
-                               use_dropout=self.use_dropout,
-                               init_scheme=self.init_scheme,
-                               use_pallas=self.use_pallas, dtype=self.dtype,
-                               name=f"block{i}")(h, z, train)
+        if trunk_fn is not None:
+            h = trunk_fn(h, z)
+        else:
+            for i in range(self.n_blocks):
+                h = CINResnetBlock(4 * self.ngf, self.nlatent,
+                                   padding_type=self.padding_type,
+                                   use_dropout=self.use_dropout,
+                                   init_scheme=self.init_scheme,
+                                   use_pallas=self.use_pallas,
+                                   dtype=self.dtype,
+                                   name=f"block{i}")(h, z, train)
 
         h = TorchConvTranspose(2 * self.ngf, 3, 2, 1, 1,
                                init_scheme=self.init_scheme, dtype=self.dtype,
@@ -178,7 +186,8 @@ class ResnetGenerator(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, trunk_fn=None):
+        # trunk_fn: see CINResnetGenerator — pipelined trunk injection.
         nr = lambda f, name: _NormRelu(self.norm, f, self.init_scheme,
                                        self.use_pallas, self.dtype, name=name)
         h = reflect_pad2d(x, 3)
@@ -188,12 +197,15 @@ class ResnetGenerator(nn.Module):
         h = nr(2 * self.ngf, "nr1")(h, train)
         h = _conv(4 * self.ngf, 3, 2, 1, True, self.init_scheme, self.dtype, "conv2")(h)
         h = nr(4 * self.ngf, "nr2")(h, train)
-        for i in range(self.n_blocks):
-            h = ResnetBlock(4 * self.ngf, padding_type=self.padding_type,
-                            norm=self.norm, use_dropout=self.use_dropout,
-                            init_scheme=self.init_scheme,
-                            use_pallas=self.use_pallas, dtype=self.dtype,
-                            name=f"block{i}")(h, train)
+        if trunk_fn is not None:
+            h = trunk_fn(h, None)
+        else:
+            for i in range(self.n_blocks):
+                h = ResnetBlock(4 * self.ngf, padding_type=self.padding_type,
+                                norm=self.norm, use_dropout=self.use_dropout,
+                                init_scheme=self.init_scheme,
+                                use_pallas=self.use_pallas, dtype=self.dtype,
+                                name=f"block{i}")(h, train)
         h = TorchConvTranspose(2 * self.ngf, 3, 2, 1, 1,
                                init_scheme=self.init_scheme, dtype=self.dtype,
                                name="up0")(h)

@@ -10,4 +10,5 @@ from .mesh import (
     prefetch_to_device,
     DataParallel,
 )
+from .pipeline import PipelineEngine, gpipe_apply, pipeline_hints
 from . import multihost

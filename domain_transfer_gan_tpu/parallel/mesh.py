@@ -25,6 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .hints import spatial_hints
+from .pipeline import PipelineEngine, pipeline_hints
 
 
 def _put(x, sh: NamedSharding):
@@ -179,28 +180,71 @@ class DataParallel:
     — tensor parallelism for configs whose weights/optimizer state exceed
     per-chip HBM (large ngf / n_blocks).  All three axes compose:
     num_devices = data * spatial * tensor.
+
+    With ``pipeline > 1`` the mesh gains a 'pipe' axis: the generators'
+    residual trunks execute as a microbatched GPipe schedule over it
+    (see :mod:`parallel.pipeline`) while the stem/tail/discriminator work
+    stays data-parallel over BOTH axes (batches are sharded over the
+    combined ('data','pipe') axes).  Requires n_blocks % pipeline == 0,
+    per-sample generator norms, no dropout, no --remat; mutually
+    exclusive with spatial/tensor.
     """
 
     def __init__(self, model, num_devices: int = 0, axis: str = "data",
                  spatial: int = 0, space_axis: str = "space",
-                 tensor: int = 0, tensor_axis: str = "model"):
+                 tensor: int = 0, tensor_axis: str = "model",
+                 pipeline: int = 0, pipe_axis: str = "pipe",
+                 microbatches: int = 0):
         self.model = model
         self._spatial = int(spatial) if spatial and spatial > 1 else 0
         self._tensor = int(tensor) if tensor and tensor > 1 else 0
+        self._pipe = int(pipeline) if pipeline and pipeline > 1 else 0
+        if self._pipe:
+            if self._spatial or self._tensor:
+                raise ValueError("--pipeline is mutually exclusive with "
+                                 "--spatial/--tensor")
+            opt = getattr(model, "opt", None)
+            if opt is not None:
+                if getattr(opt, "remat", False):
+                    raise ValueError("--pipeline is incompatible with "
+                                     "--remat (lifted remat cannot take the "
+                                     "trunk closure argument)")
+                if getattr(opt, "use_dropout", False):
+                    raise ValueError("--pipeline requires --use_dropout off "
+                                     "(no rng plumbing into the manual "
+                                     "pipeline region)")
+                if getattr(opt, "norm", "instance") != "instance":
+                    raise ValueError("--pipeline requires per-sample "
+                                     "(instance) generator norms")
+                if getattr(opt, "n_blocks", 0) % self._pipe != 0:
+                    raise ValueError("--pipeline %d must divide n_blocks %d"
+                                     % (self._pipe, opt.n_blocks))
         total = num_devices or len(jax.devices())
-        per_data = max(self._spatial, 1) * max(self._tensor, 1)
+        per_data = (max(self._spatial, 1) * max(self._tensor, 1)
+                    * max(self._pipe, 1))
         assert total % per_data == 0, \
-            "devices (%d) not divisible by spatial*tensor (%d)" % (total,
-                                                                   per_data)
+            "devices (%d) not divisible by spatial*tensor*pipe (%d)" % (
+                total, per_data)
         sizes = [(axis, total // per_data)]
         if self._spatial:
             sizes.append((space_axis, self._spatial))
         if self._tensor:
             sizes.append((tensor_axis, self._tensor))
+        if self._pipe:
+            sizes.append((pipe_axis, self._pipe))
         self.mesh = make_mesh_axes(sizes)
-        self.axis = axis
+        # batches shard over ('data','pipe') jointly: stem/tail and
+        # discriminators are data-parallel across every device; only the
+        # trunk's manual region regroups per data shard
+        self.axis = (axis, pipe_axis) if self._pipe else axis
         self.space_axis = space_axis if self._spatial else None
         self.tensor_axis = tensor_axis if self._tensor else None
+        self.engine = None
+        if self._pipe:
+            self.engine = PipelineEngine(
+                mesh=self.mesh, data_axis=axis, pipe_axis=pipe_axis,
+                n_micro=int(microbatches) if microbatches and
+                microbatches > 1 else self._pipe)
         if self._tensor:
             # Shard params/opt_state/ema DIRECTLY to their final placement:
             # tensor parallelism exists for configs whose weights + Adam
@@ -235,14 +279,16 @@ class DataParallel:
         # active, DiscriminatorEdges pins its 4x4 head to batch-only
         # sharding (parallel/hints.py) so the dp x sp compile stays free of
         # GSPMD involuntary-remat resharding.  No-op without spatial.
-        with spatial_hints(self.mesh, self.axis, self.space_axis):
+        with spatial_hints(self.mesh, self.axis, self.space_axis), \
+                pipeline_hints(self.engine):
             return self.model.train_instance(real_A, real_B, prior_z_B)
 
     def supervised_train_instance(self, real_A, real_B, prior_z_B=None):
         real_A, real_B = self.shard(real_A), self.shard(real_B)
         if prior_z_B is not None:
             prior_z_B = self.shard(prior_z_B)
-        with spatial_hints(self.mesh, self.axis, self.space_axis):
+        with spatial_hints(self.mesh, self.axis, self.space_axis), \
+                pipeline_hints(self.engine):
             return self.model.supervised_train_instance(real_A, real_B,
                                                         prior_z_B)
 
@@ -254,7 +300,8 @@ class DataParallel:
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
             return x  # already a global (multi-host) array
         x = jnp.asarray(x)
-        n_data = self.mesh.shape[self.axis]
+        axes = self.axis if isinstance(self.axis, tuple) else (self.axis,)
+        n_data = int(np.prod([self.mesh.shape[a] for a in axes]))
         ok = x.shape[0] % n_data == 0
         if ok and self.space_axis is not None and x.ndim >= 3:
             ok = x.shape[1] % self.mesh.shape[self.space_axis] == 0
@@ -274,7 +321,7 @@ class DataParallel:
                                          jnp.asarray(multi_prior_z_B))
 
     _own_attrs = frozenset({"model", "mesh", "axis", "space_axis",
-                            "tensor_axis"})
+                            "tensor_axis", "engine"})
 
     def __getattr__(self, name):
         return getattr(self.model, name)

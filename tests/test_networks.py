@@ -145,3 +145,18 @@ def test_generator_grad_flows_to_z():
     v = g.init(KEY, x, z, train=False)
     gz = jax.grad(lambda zz: jnp.sum(g.apply(v, x, zz, train=False)))(z)
     assert float(jnp.max(jnp.abs(gz))) > 0
+
+
+def test_sub64_grid_raises_clear_error():
+    """Below 64px the edges-discriminator / latent-encoder valid 4x4 heads
+    would emit empty tensors; init_state fails with the real reason instead
+    of a deep flax shape error."""
+    import pytest
+    from domain_transfer_gan_tpu.config import TrainConfig
+    from domain_transfer_gan_tpu.models.state import init_state
+
+    cfg = TrainConfig(model="aug_cycle_gan", grid_size=32, ngf=4, nef=4,
+                      ndf=4, nlatent=8, batchSize=4)
+    cfg.expr_dir = ""
+    with pytest.raises(ValueError, match="grid_size.*64"):
+        init_state(cfg, jax.random.PRNGKey(0))
