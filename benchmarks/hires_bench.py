@@ -36,7 +36,7 @@ PEAK_FLOPS = 197e12   # v5e bf16
 PEAK_HBM = 819e9      # v5e HBM bytes/s
 
 
-def run_config(size, blocks, batch, dtype, remat=False):
+def run_config(size, blocks, batch, dtype, remat=False, use_pallas=False):
     import jax
     import jax.numpy as jnp
 
@@ -45,7 +45,7 @@ def run_config(size, blocks, batch, dtype, remat=False):
 
     cfg = TrainConfig(model="aug_cycle_gan", grid_size=size,
                       batchSize=batch, ngf=32, nef=32, ndf=64,
-                      nlatent=16, n_blocks=blocks, use_pallas=False,
+                      nlatent=16, n_blocks=blocks, use_pallas=use_pallas,
                       compute_dtype=dtype, monitor_gnorm=True, seed=0,
                       remat=remat)
     cfg.expr_dir = ""
@@ -65,7 +65,7 @@ def run_config(size, blocks, batch, dtype, remat=False):
     dt = time.perf_counter() - t0
     step_s = dt / STEPS
     rec = {"size": size, "n_blocks": blocks, "batch": batch, "dtype": dtype,
-           "remat": bool(remat),
+           "remat": bool(remat), "use_pallas": bool(use_pallas),
            "images_per_sec": STEPS * batch / dt, "step_ms": 1e3 * step_s}
     # roofline: compiled cost analysis (same path as bench.py:90-104)
     try:
@@ -102,16 +102,27 @@ def main():
                     help="rematerialize generator activations in the "
                          "backward — a candidate win in the "
                          "bandwidth-bound hires regime")
+    ap.add_argument("--use_pallas", action="store_true",
+                    help="fused Pallas IN/CIN kernels — lost at 64px "
+                         "(BASELINE.md native-tier verdict) but the hires "
+                         "regime is bandwidth-bound, where the single-pass "
+                         "norm's saved HBM round-trip matters more; the "
+                         "kernel engages only where its VMEM block fits "
+                         "(the 32x32 trunk at 128px) and falls back to XLA "
+                         "elsewhere")
     args = ap.parse_args()
 
     out = []
     for size, blocks, batch, dtype in CONFIGS:
         if args.sizes is not None and size not in args.sizes:
             continue
-        out.append(run_config(size, blocks, batch, dtype, args.remat))
+        out.append(run_config(size, blocks, batch, dtype, args.remat,
+                              args.use_pallas))
+    suffix = ("hires_remat.json" if args.remat
+              else "hires_pallas.json" if args.use_pallas
+              else "hires.json")
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "results", "hires_remat.json" if args.remat
-                        else "hires.json")
+                        "results", suffix)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     # merge with prior results so a --sizes-restricted run updates its own
     # configs without clobbering the rest of the committed table
