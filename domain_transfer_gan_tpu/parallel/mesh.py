@@ -199,6 +199,9 @@ class DataParallel:
         self._spatial = int(spatial) if spatial and spatial > 1 else 0
         self._tensor = int(tensor) if tensor and tensor > 1 else 0
         self._pipe = int(pipeline) if pipeline and pipeline > 1 else 0
+        if microbatches and microbatches > 1 and not self._pipe:
+            raise ValueError("--microbatches only applies to pipeline "
+                             "parallelism; set --pipeline >= 2")
         if self._pipe:
             if self._spatial or self._tensor:
                 raise ValueError("--pipeline is mutually exclusive with "

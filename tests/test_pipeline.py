@@ -210,6 +210,9 @@ def test_dp_pipe_guards():
     with pytest.raises(ValueError, match="instance"):
         DataParallel(create_model(tiny_cfg(norm="batch"), testing=True),
                      num_devices=8, pipeline=2)
+    with pytest.raises(ValueError, match="microbatches"):
+        DataParallel(create_model(tiny_cfg(), testing=True), num_devices=8,
+                     microbatches=4)
 
 
 def test_dp_pipe_ubo_eval_runs():
