@@ -63,6 +63,32 @@ def main():
             "value": round(steps * batch / dt, 1),
             "ms_per_batch": round(1e3 * dt / steps, 2)}))
 
+        # serving artifact: the jax.export StableHLO round trip must serve
+        # at live-model speed (cli/export.py --serve_dtype path)
+        if dtype == "bfloat16":
+            import tempfile
+
+            from domain_transfer_gan_tpu.cli.export import (
+                export_model,
+                load_exported,
+            )
+            with tempfile.TemporaryDirectory() as td:
+                export_model(m, td, batch=batch)
+                served = load_exported(td, "predict_B")
+                for _ in range(5):
+                    out = served(A, z)
+                float(out[0, 0, 0, 0])
+                t0 = time.perf_counter()
+                for _ in range(steps):
+                    out = served(A, z)
+                float(out[0, 0, 0, 0])
+                dt = time.perf_counter() - t0
+            print(json.dumps({
+                "metric": f"exported StableHLO artifact img/s ({dtype}, "
+                          f"b{batch})",
+                "value": round(steps * batch / dt, 1),
+                "ms_per_batch": round(1e3 * dt / steps, 2)}))
+
 
 if __name__ == "__main__":
     main()

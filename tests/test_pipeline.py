@@ -181,6 +181,37 @@ def test_dp_pipe_more_microbatches():
                           atol=2e-4), f"{k}: {float(l1[k])} vs {float(l2[k])}"
 
 
+def test_dp_pipe_ema_composition():
+    """--ema composes with pipeline parallelism: after two steps the EMA
+    shadows track the same post-update params as single-device execution —
+    an end-to-end check that the pipelined trunk produced the same
+    *gradients* (param updates), not just the same losses."""
+    A, B, z = _rand_batch(9)
+    m1 = create_model(tiny_cfg(ema=0.5), testing=True)
+    dp = DataParallel(create_model(tiny_cfg(ema=0.5), testing=True),
+                      num_devices=8, pipeline=2)
+    for _ in range(2):
+        m1.train_instance(A, B, z)
+        dp.train_instance(A, B, z)
+    f1 = jax.tree_util.tree_flatten_with_path(m1.state.ema)[0]
+    f2 = jax.tree_util.tree_leaves(dp.state.ema)
+    assert f1 and len(f1) == len(f2)
+    # Only KERNEL leaves are per-element comparable: conv biases feeding an
+    # instance norm have mathematically-zero gradients (the norm subtracts
+    # the per-channel mean), so Adam normalizes pure float roundoff into
+    # +-lr random-sign walks that microbatch reassociation flips freely —
+    # measured: all kernel leaves agree to <5e-5 while zero-grad bias
+    # leaves diverge at the full Adam-step scale in BOTH orderings.
+    checked = 0
+    for (path, a), b in zip(f1, f2):
+        if jax.tree_util.keystr(path).endswith("['kernel']"):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-3, atol=1e-4,
+                                       err_msg=jax.tree_util.keystr(path))
+            checked += 1
+    assert checked >= 20  # both generators' stems, trunks and tails
+
+
 def test_dp_pipe_generation_helpers_unpipelined():
     """The eval/generation surface runs outside the pipeline context (the
     contextvar is step-scoped) and matches single-device output."""
