@@ -39,8 +39,14 @@ import jax.numpy as jnp
 from jax import export as jax_export
 
 
-def export_model(model, out_dir: str, batch: int = 32):
-    """Serialize predict_B / predict_A at fixed shapes; returns manifest."""
+def export_model(model, out_dir: str, batch: int = 32, platforms=None):
+    """Serialize predict_B / predict_A at fixed shapes; returns manifest.
+
+    ``platforms``: lowering platforms baked into the artifact (e.g.
+    ``["cpu", "tpu"]`` for one artifact servable on both); default is the
+    current backend only — an artifact exported on TPU will REFUSE to run
+    on CPU and vice versa, so export for every platform you serve on.
+    """
     os.makedirs(out_dir, exist_ok=True)
     opt = model.opt
     hw = opt.grid_size
@@ -72,11 +78,14 @@ def export_model(model, out_dir: str, batch: int = 32):
                 "serve_dtype": opt.compute_dtype,
                 "functions": {}}
 
+    kw = {"platforms": list(platforms)} if platforms else {}
+
     fn_B = make_fn("netG_A_B")
     if getattr(model, "ignore_noise", False):
         raw_B = fn_B
         fn_B = lambda a, z: raw_B(a, jnp.ones_like(z))  # cycle_gan z==1
-    exp_B = jax_export.export(jax.jit(fn_B))(a_spec, z_spec)
+    exp_B = jax_export.export(jax.jit(fn_B), **kw)(a_spec, z_spec)
+    manifest["platforms"] = list(exp_B.platforms)
     with open(os.path.join(out_dir, "predict_B.stablehlo"), "wb") as f:
         f.write(exp_B.serialize())
     manifest["functions"]["predict_B"] = {
@@ -84,7 +93,7 @@ def export_model(model, out_dir: str, batch: int = 32):
                  ["z", list(z_spec.shape), "float32"]]}
 
     fn_A = make_fn("netG_B_A")
-    exp_A = jax_export.export(jax.jit(fn_A))(b_spec)
+    exp_A = jax_export.export(jax.jit(fn_A), **kw)(b_spec)
     with open(os.path.join(out_dir, "predict_A.stablehlo"), "wb") as f:
         f.write(exp_A.serialize())
     manifest["functions"]["predict_A"] = {
@@ -112,7 +121,18 @@ def main(argv=None):
                     "graphs with (default: the training compute_dtype)")
     ap.add_argument("--use_ema", type=int, choices=[0, 1], default=0,
                     help="export the EMA shadow weights (--ema runs)")
+    ap.add_argument("--platforms", nargs="*", default=None,
+                    help="lowering platforms baked into the artifact "
+                         "(e.g. --platforms cpu tpu for one artifact "
+                         "servable on both); default: current backend only")
+    ap.add_argument("--host_devices", type=int, default=0,
+                    help=">0: force an N-virtual-device CPU platform "
+                         "(export without touching the TPU tunnel)")
     args = ap.parse_args(argv)
+
+    if args.host_devices:
+        from .train import _force_host_devices
+        _force_host_devices(args.host_devices)
 
     from ..config import load_train_config_from_expr_dir
     from ..models import create_model
@@ -133,7 +153,8 @@ def main(argv=None):
             raise ValueError("--use_ema 1 needs a checkpoint trained with "
                              "--ema")
         model.swap_ema()
-    manifest = export_model(model, args.out, batch=args.batch)
+    manifest = export_model(model, args.out, batch=args.batch,
+                            platforms=args.platforms)
     print("exported %s -> %s (%s)" % (args.chk_path, args.out,
                                       ", ".join(manifest["functions"])))
 
