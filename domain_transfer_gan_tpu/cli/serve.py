@@ -125,6 +125,12 @@ def build_server(export_dir: str, host: str = "127.0.0.1",
             if names[0] not in payload:
                 return self._error(400, "payload needs array %r" % names[0])
             x = payload[names[0]]
+            hw = int(manifest["grid_size"])
+            nc = int(manifest["input_nc" if names[0] == "A"
+                              else "output_nc"])
+            if x.ndim != 4 or x.shape[1:] != (hw, hw, nc):
+                return self._error(400, "%s must be (N, %d, %d, %d), got %r"
+                                   % (names[0], hw, hw, nc, x.shape))
             args = [x]
             if "z" in names:
                 if "z" in payload:

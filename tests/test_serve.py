@@ -130,7 +130,34 @@ def test_serve_rejects_bad_requests(served):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req, timeout=30)
     assert ei.value.code == 400
+    # wrong image shape is a 400 (not a 500 from inside the artifact)
+    buf = io.BytesIO()
+    np.savez(buf, A=np.zeros((2, 32, 32, 3), np.float32))
+    req = urllib.request.Request(base + "/predict_B", data=buf.getvalue(),
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
     # unknown path
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(base + "/nope", timeout=30)
     assert ei.value.code == 404
+
+
+def test_export_dual_platform(tmp_path):
+    """--platforms cpu tpu lowers one artifact servable on both; it must
+    load and run on the CPU test platform and record both in the manifest."""
+    cfg = TrainConfig(model="aug_cycle_gan", grid_size=64, ngf=4, nef=4,
+                      ndf=4, nlatent=8, use_pallas=False, seed=12)
+    cfg.expr_dir = ""
+    m = create_model(cfg, testing=True)
+    manifest = export_model(m, str(tmp_path), batch=2,
+                            platforms=["cpu", "tpu"])
+    assert manifest["platforms"] == ["cpu", "tpu"]
+    rng = np.random.RandomState(4)
+    A = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    z = rng.randn(2, 8).astype(np.float32)
+    got = np.asarray(load_exported(str(tmp_path), "predict_B")(
+        jnp.asarray(A), jnp.asarray(z)))
+    want = np.asarray(m.predict_B(jnp.asarray(A), jnp.asarray(z)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
