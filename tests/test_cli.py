@@ -92,6 +92,28 @@ def test_test_cli_perfile_dataset(tmp_path, capsys):
     assert "TEST_MSE_A" in out
 
 
+def test_profile_dir_trace(tmp_path, capsys):
+    """--profile_dir captures a steady-state xprof window (steps 10-14 of
+    the first epoch) and reports where it wrote the trace."""
+    root = tmp_path / "ds"
+    ckpt = tmp_path / "ckpt"
+    prof = tmp_path / "prof"
+    write_synthetic_dataset(str(root), n_train=136, n_test=8, size=64)
+    train_model(argv=[
+        "--dataroot", str(root), "--name", "prof_e2e",
+        "--checkpoints_dir", str(ckpt), "--grid_size", "64",
+        "--batchSize", "8", "--ngf", "4", "--nef", "4", "--ndf", "8",
+        "--nlatent", "8", "--niter", "1", "--niter_decay", "0",
+        "--print_freq", "64", "--display_freq", "999999",
+        "--save_epoch_freq", "1", "--use_pallas", "0", "--seed", "6",
+        "--dev_size", "8", "--num_devices", "1",
+        "--eval_B_freq", "999999", "--profile_dir", str(prof)])
+    out = capsys.readouterr().out
+    assert "profiler trace written" in out
+    traces = [p for p in prof.rglob("*") if p.is_file()]
+    assert traces, "profile dir is empty"
+
+
 def test_check_numerics_sanitizer():
     """--check_numerics raises a FloatingPointError naming the non-finite
     loss terms (SURVEY.md §5 sanitizer subsystem)."""
