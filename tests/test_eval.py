@@ -161,3 +161,22 @@ def test_save_image_grid(tmp_path):
     from PIL import Image
     im = Image.open(p)
     assert im.size[0] > 8 and im.size[1] > 8
+
+
+def test_legacy_eval_constants_npix():
+    """Quirk Q5: the reference's BPP math hardcodes 64*64*3 pixels whatever
+    the actual grid (evaluate.py:104,107).  The fix derives npix from the
+    batch shape by default; --legacy_eval_constants restores the reference's
+    number for comparing against its published-style outputs."""
+    from types import SimpleNamespace
+
+    from domain_transfer_gan_tpu.eval.metrics import _npix
+
+    real = np.zeros((2, 128, 128, 3), np.float32)
+    legacy = SimpleNamespace(opt=SimpleNamespace(legacy_eval_constants=True))
+    fixed = SimpleNamespace(opt=SimpleNamespace(legacy_eval_constants=False))
+    assert _npix(legacy, real) == 64 * 64 * 3
+    assert _npix(fixed, real) == 128 * 128 * 3
+    # at the reference's own 64px geometry the two agree
+    real64 = np.zeros((2, 64, 64, 3), np.float32)
+    assert _npix(legacy, real64) == _npix(fixed, real64)
