@@ -9,8 +9,9 @@ snow-water equivalent [SWE] as domain B, keep lat/lon/time metadata, split
 - bundled ``{train,test}{A,B}.npz`` with key 'data'  (the in-memory path)
 - per-sample ``{train,test}{A,B}/{i}.npz``           (the per-file path)
 
-Requires the optional ``netCDF4`` dependency; the CLI degrades with a clear
-message when it is absent (it is not part of the baked environment).
+Reading prefers the optional ``netCDF4`` dependency (NetCDF-4/HDF5 files);
+without it, classic NetCDF-3 files are read through scipy's built-in
+reader, and a NetCDF-4 file degrades with a clear message.
 
 Usage:
     python -m domain_transfer_gan_tpu.data.prep_livneh \
@@ -30,36 +31,51 @@ DOMAIN_B_VARS = ["SWE"]
 TRAIN_FRACTION = 0.8
 
 
-def _require_netcdf():
+def _open_nc(nc_path: str):
+    """Return ``(variables, close)`` for a NetCDF file.
+
+    Prefers the optional ``netCDF4`` package (required for NetCDF-4/HDF5
+    files); falls back to scipy's built-in classic NetCDF-3 reader so the
+    ETL works — and is testable — without the optional dependency."""
     try:
-        import netCDF4  # noqa: F401
-        return netCDF4
-    except ImportError as e:
-        raise SystemExit(
-            "netCDF4 is required for Livneh preparation but is not "
-            "installed in this environment. Convert your NetCDF files to "
-            "npz bundles externally, or install netCDF4.") from e
+        import netCDF4
+    except ImportError:
+        from scipy.io import netcdf_file
+        try:
+            ds = netcdf_file(nc_path, "r", mmap=False)
+        except Exception as e:
+            raise SystemExit(
+                "%s could not be read with scipy's classic NetCDF-3 reader "
+                "(%r) and the netCDF4 package (needed for NetCDF-4/HDF5 "
+                "files) is not installed. Install netCDF4 or convert the "
+                "file to npz externally." % (nc_path, e)) from e
+        return ds.variables, ds.close
+    ds = netCDF4.Dataset(nc_path)
+    return ds.variables, ds.close
 
 
 def extract_variables(nc_path: str, var_names: Sequence[str]) -> np.ndarray:
     """Stack (time, lat, lon) variables into (time, lat, lon, C)."""
-    netCDF4 = _require_netcdf()
-    with netCDF4.Dataset(nc_path) as ds:
+    variables, close = _open_nc(nc_path)
+    try:
         arrs = []
         for name in var_names:
             # read the variable ONCE: each [:] materializes (and
             # decompresses) the full (time, lat, lon) array from disk
-            raw = ds.variables[name][:]
+            raw = variables[name][:]
             if np.ma.isMaskedArray(raw):
                 v = np.ma.filled(raw, np.nan).astype(np.float32)
             else:
-                v = np.asarray(raw, dtype=np.float32)
+                # copy: scipy's reader may hand back a view of its buffer
+                v = np.array(raw, dtype=np.float32)
             arrs.append(v)
         data = np.stack(arrs, axis=-1)
         meta = {}
         for extra in ("lat", "lon", "time"):
-            if extra in ds.variables:
-                meta[extra] = np.asarray(ds.variables[extra][:])
+            if extra in variables:
+                meta[extra] = np.array(variables[extra][:])
+    finally:
+        close()
     return data, meta
 
 

@@ -262,3 +262,54 @@ def test_native_loader_rejects_shape_payload_mismatch(tmp_path):
     open(str(tmp_path / "bad.npy"), "wb").write(garbage)
     assert native.read_npz_f32(str(tmp_path / "bad.npy")) is None
     assert hdr > 0
+
+
+def test_prep_livneh_etl_from_netcdf(tmp_path):
+    """The Livneh ETL (reference notebook port, data/prep_livneh.py) reads a
+    real NetCDF file (classic format via the scipy fallback — the optional
+    netCDF4 package is absent here), stacks the forcing/SWE variables,
+    splits 80/20 chronologically, and writes BOTH loader formats."""
+    from scipy.io import netcdf_file
+
+    from domain_transfer_gan_tpu.data.prep_livneh import prepare
+
+    T, H, W = 10, 6, 5
+    rng = np.random.RandomState(0)
+
+    def write_nc(path, var_names):
+        with netcdf_file(str(path), "w") as ds:
+            ds.createDimension("time", T)
+            ds.createDimension("lat", H)
+            ds.createDimension("lon", W)
+            for dim, n in (("time", T), ("lat", H), ("lon", W)):
+                v = ds.createVariable(dim, "f4", (dim,))
+                v[:] = np.arange(n, dtype=np.float32)
+            out = {}
+            for name in var_names:
+                v = ds.createVariable(name, "f4", ("time", "lat", "lon"))
+                arr = rng.rand(T, H, W).astype(np.float32)
+                v[:] = arr
+                out[name] = arr
+        return out
+
+    forc = write_nc(tmp_path / "forcings.nc",
+                    ["Prec", "Tmax", "Tmin", "wind"])
+    swe = write_nc(tmp_path / "swe.nc", ["SWE"])
+    out = tmp_path / "npz"
+    prepare(str(tmp_path / "forcings.nc"), str(tmp_path / "swe.nc"),
+            str(out))
+
+    with np.load(out / "trainA.npz") as z:
+        trainA = z["data"]
+        assert set(z.files) >= {"data", "lat", "lon", "time"}
+    with np.load(out / "testB.npz") as z:
+        testB = z["data"]
+    assert trainA.shape == (8, H, W, 4)      # 80% of 10, chronological
+    assert testB.shape == (2, H, W, 1)
+    np.testing.assert_array_equal(trainA[..., 0], forc["Prec"][:8])
+    np.testing.assert_array_equal(testB[..., 0], swe["SWE"][8:])
+    # per-sample format, loadable by the per-file dataset path
+    assert sorted(os.listdir(out / "trainA"))[0] == "00000.npz"
+    with np.load(out / "testA" / "00000.npz") as z:
+        np.testing.assert_array_equal(
+            z["data"][..., 1], forc["Tmax"][8])
