@@ -70,6 +70,19 @@ def test_test_cli_noise_sens(trained_run):
     assert os.path.exists(os.path.join(expr, "test_res", "noise_sens.npy"))
 
 
+def test_test_cli_z_div(trained_run, capsys):
+    """--metric z_div through the test CLI: prints the ratio line and writes
+    strict-JSON z_diversity.json (the eval itself is covered in
+    tests/test_diversity.py; this pins the CLI dispatch + artifact)."""
+    root, expr = trained_run
+    run_test_cli(argv=["--chk_path", os.path.join(expr, "latest"),
+                       "--dataroot", root, "--metric", "z_div"])
+    assert "Z_DIV_RATIO" in capsys.readouterr().out
+    with open(os.path.join(expr, "test_res", "z_diversity.json")) as f:
+        div = json.load(f)  # strict JSON: NaNs must have become nulls
+    assert {"ratio", "intra_z", "inter_input"} <= set(div)
+
+
 def test_test_cli_perfile_dataset(tmp_path, capsys):
     """A model trained with --numpy_data 0 (per-file folders) can be
     evaluated by the test CLI (round-1 gap: it always loaded bundles)."""
