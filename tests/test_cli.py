@@ -83,6 +83,33 @@ def test_test_cli_z_div(trained_run, capsys):
     assert {"ratio", "intra_z", "inter_input"} <= set(div)
 
 
+def test_test_cli_visual_mvgauss_fid(trained_run, capsys):
+    """The remaining test-CLI metric dispatches (visual grids, the MVGauss
+    BPP baseline, proxy-FID) run on the trained checkpoint and write their
+    artifacts — the underlying evals are unit-tested elsewhere; this pins
+    the CLI wiring."""
+    root, expr = trained_run
+    chk = os.path.join(expr, "latest")
+    res = os.path.join(expr, "test_res")
+
+    run_test_cli(argv=["--chk_path", chk, "--dataroot", root,
+                       "--metric", "visual"])
+    for f in ("cycle_0.png", "multi_0.png", "cycle_B_multi_0.png",
+              "multi_cycle_0.png"):
+        assert os.path.exists(os.path.join(res, f)), f
+
+    run_test_cli(argv=["--chk_path", chk, "--dataroot", root,
+                       "--metric", "mvgauss"])
+    bpp = float(open(os.path.join(res, "mvgauss_bpp.txt")).read())
+    assert np.isfinite(bpp)
+
+    run_test_cli(argv=["--chk_path", chk, "--dataroot", root,
+                       "--metric", "fid"])
+    assert "PROXY_FID_B" in capsys.readouterr().out
+    fid = float(open(os.path.join(res, "fid.txt")).read())
+    assert np.isfinite(fid) and fid >= 0
+
+
 def test_test_cli_perfile_dataset(tmp_path, capsys):
     """A model trained with --numpy_data 0 (per-file folders) can be
     evaluated by the test CLI (round-1 gap: it always loaded bundles)."""
