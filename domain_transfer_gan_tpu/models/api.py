@@ -223,8 +223,19 @@ class _CycleGANBase:
             self._async_ckpt.save(chk_path, payload)
             return
         payload = jax.device_get(payload)
-        with open(chk_path, "wb") as f:
-            f.write(serialization.to_bytes(payload))
+        # atomic publish (write-to-temp + rename, like utils.checkpoint's
+        # async writer): a crash mid-write must never corrupt an existing
+        # 'latest'/'best_*' — the direct open(chk_path,'wb') truncated it
+        # before the bytes were even serialized
+        tmp = chk_path + ".tmp"
+        try:
+            with open(tmp, "wb") as f:
+                f.write(serialization.to_bytes(payload))
+            os.replace(tmp, chk_path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
 
     def wait_for_saves(self):
         if hasattr(self, "_async_ckpt"):

@@ -46,3 +46,33 @@ def test_async_saves_to_same_path_serialize(tmp_path):
     assert int(got["step"]) == 2
     assert not glob.glob(os.path.join(os.path.dirname(path),
                                       "latest.staging*"))
+
+
+def test_sync_flax_save_is_atomic(tmp_path, monkeypatch):
+    """A failure mid-save must leave the previous checkpoint intact: the
+    sync flax path used to open(chk_path,'wb') directly, truncating
+    'latest' before the payload was even serialized — a crash there
+    bricked resume.  Saves now publish via temp+rename."""
+    import pytest
+
+    from domain_transfer_gan_tpu.config import TrainConfig
+    from domain_transfer_gan_tpu.models import api as api_mod
+    from domain_transfer_gan_tpu.models import create_model
+
+    cfg = TrainConfig(model="aug_cycle_gan", grid_size=64, ngf=4, nef=4,
+                      ndf=4, nlatent=8, use_pallas=False, seed=13)
+    cfg.expr_dir = str(tmp_path)
+    m = create_model(cfg, testing=True)
+    m.save("latest")
+    chk = tmp_path / "latest"
+    good = chk.read_bytes()
+    assert good  # a real payload landed
+
+    def boom(payload):
+        raise RuntimeError("simulated crash mid-serialization")
+
+    monkeypatch.setattr(api_mod.serialization, "to_bytes", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        m.save("latest")
+    assert chk.read_bytes() == good  # previous checkpoint untouched
+    assert not os.path.exists(str(chk) + ".tmp")  # no staging leak
