@@ -105,6 +105,31 @@ def test_serve_samples_z_when_absent(served):
     assert np.abs(y1 - y2).max() > 1e-6
 
 
+def test_serve_concurrent_requests(served):
+    """ThreadingHTTPServer handles parallel POSTs: 8 concurrent clients each
+    get their own correct batch back (the compiled fn and the z-sampling rng
+    are shared across handler threads)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    out, base = served
+    fn = load_exported(out, "predict_B")
+    rng = np.random.RandomState(5)
+    batches = [(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32),
+                rng.randn(2, 8).astype(np.float32)) for _ in range(8)]
+
+    def call(ab):
+        A, z = ab
+        return _post(base + "/predict_B", {"A": A, "z": z})
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        got = list(ex.map(call, batches))
+    for (A, z), y in zip(batches, got):
+        want = np.asarray(fn(jnp.asarray(np.concatenate(
+            [A, np.zeros((2, 64, 64, 3), np.float32)])), jnp.asarray(
+            np.concatenate([z, np.zeros((2, 8), np.float32)]))))[:2]
+        np.testing.assert_allclose(y, want, rtol=1e-6, atol=1e-6)
+
+
 def test_serve_rejects_bad_requests(served):
     _, base = served
     # malformed body
