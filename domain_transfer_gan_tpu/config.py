@@ -142,6 +142,13 @@ class TrainConfig:
     #                                the /5 discount exists only until decay
     #                                starts); "ratio" — keep D at lr/5 of
     #                                the decayed schedule throughout
+    grad_accum: int = 1            # >1: gradient accumulation — run each
+    #                                phase of the step over K sequential
+    #                                microbatches inside one jitted program
+    #                                (models/accum.py); effective batch =
+    #                                batchSize at ~batchSize/K activation
+    #                                memory.  Composes with dp/--remat; not
+    #                                with --pool_size/--pipeline/batch norm
     coordinator: str = ""          # multi-host: "host:port" of process 0,
     #                                or "auto" (TPU-pod auto-detection)
     num_processes: int = 0         # multi-host: total process count
@@ -270,6 +277,7 @@ class TrainOptions:
         p.add_argument("--check_numerics", type=int, choices=[0, 1],
                        default=d.check_numerics)
         p.add_argument("--ema", type=float, default=d.ema)
+        p.add_argument("--grad_accum", type=int, default=d.grad_accum)
         p.add_argument("--d_lr_mode", type=str, default=d.d_lr_mode,
                        choices=["reference", "ratio"])
         p.add_argument("--coordinator", type=str, default=d.coordinator)

@@ -29,6 +29,7 @@ from flax import serialization
 from ..config import TrainConfig
 from ..nn import networks as N
 from ..ops.numerics import gauss_reparametrize
+from .accum import make_aug_accum_step, make_stoch_accum_step
 from .state import TrainState, init_state
 from .steps import (
     apply_net,
@@ -36,6 +37,16 @@ from .steps import (
     make_aug_train_step,
     make_stoch_train_step,
 )
+
+
+def _accum_k(opt) -> int:
+    """--grad_accum microbatch count (1 = the fused single-batch step)."""
+    k = int(getattr(opt, "grad_accum", 1) or 1)
+    if k > 1 and getattr(opt, "supervised", False):
+        raise ValueError("--grad_accum does not support --supervised runs "
+                         "(the supervised step is single-batch; drop one "
+                         "of the two flags)")
+    return k
 
 
 def _as_jnp(x):
@@ -395,7 +406,9 @@ class StochCycleGAN(_CycleGANBase):
         self.ignore_noise = ignore_noise
         super().__init__(opt, testing=testing, **kw)
         self._train_step = jax.jit(
-            make_stoch_train_step(self.nets, opt, ignore_noise),
+            make_stoch_accum_step(self.nets, opt, ignore_noise)
+            if _accum_k(opt) > 1
+            else make_stoch_train_step(self.nets, opt, ignore_noise),
             donate_argnums=(0,))
 
     def train_instance(self, real_A, real_B, prior_z_B=None):
@@ -465,8 +478,10 @@ class AugmentedCycleGAN(_CycleGANBase):
 
     def __init__(self, opt: TrainConfig, testing: bool = False, **kw):
         super().__init__(opt, testing=testing, **kw)
-        self._train_step = jax.jit(make_aug_train_step(self.nets, opt),
-                                   donate_argnums=(0,))
+        self._train_step = jax.jit(
+            make_aug_accum_step(self.nets, opt) if _accum_k(opt) > 1
+            else make_aug_train_step(self.nets, opt),
+            donate_argnums=(0,))
         self._sup_step = jax.jit(make_aug_supervised_step(self.nets, opt),
                                  donate_argnums=(0,))
 

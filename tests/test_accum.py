@@ -1,0 +1,181 @@
+"""Gradient accumulation (--grad_accum, models/accum.py).
+
+The load-bearing property is exact equivalence to the fused single-batch
+step: with batch-statistics-free networks, accumulating each phase's
+gradients over K equal microbatches and applying the mean is the same
+program as the fused step at the full batch (per-sample-mean losses +
+linearity).  The aug model's latent encoder/discriminator carry internal
+batch norm, so its equivalence test uses a tiled batch (every sample
+identical), where per-microbatch statistics provably equal full-batch
+statistics and exactness must still hold.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from domain_transfer_gan_tpu.config import TrainConfig
+from domain_transfer_gan_tpu.models import create_model
+
+
+def tiny_cfg(**kw):
+    base = dict(model="aug_cycle_gan", grid_size=64, ngf=4, nef=4, ndf=4,
+                nlatent=8, batchSize=4, use_pallas=False, monitor_gnorm=True)
+    base.update(kw)
+    expr_dir = base.pop("expr_dir", "")
+    cfg = TrainConfig(**base)
+    cfg.expr_dir = expr_dir
+    return cfg
+
+
+def batch(n=4, hw=64, c=3, seed=0):
+    rng = np.random.RandomState(seed)
+    A = jnp.asarray(rng.uniform(-1, 1, (n, hw, hw, c)).astype(np.float32))
+    B = jnp.asarray(rng.uniform(-1, 1, (n, hw, hw, c)).astype(np.float32))
+    return A, B
+
+
+def _max_leaf_diff(a, b):
+    da, db = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    return max(float(jnp.max(jnp.abs(x.astype(jnp.float32)
+                                     - y.astype(jnp.float32))))
+               for x, y in zip(da, db))
+
+
+def _run_pair(cfg_kw, A, B, z=None, steps=1):
+    """Same seed, same inputs: fused (K=1) vs accumulated (K from cfg_kw)."""
+    out = []
+    for accum in (1, cfg_kw.pop("_k", 2)):
+        m = create_model(tiny_cfg(seed=11, grad_accum=accum, **cfg_kw),
+                         testing=True)
+        for _ in range(steps):
+            losses, _, _ = m.train_instance(A, B, z)
+        out.append((m, losses))
+    return out
+
+
+@pytest.mark.parametrize("model", ["stoch_cycle_gan", "cycle_gan"])
+def test_stoch_accum_matches_fused_step(model):
+    # instance norms everywhere: exact equivalence on a varied batch.
+    # Single step only: losses agree to float noise (~1e-7 observed), but
+    # Adam's first update moves every param by ±lr on the SIGN of its
+    # gradient, so reduction-order noise on a mathematically-zero gradient
+    # flips that param by 2*lr — the per-param tolerance is 2*lr + slack,
+    # and further steps would compound chaotically through the flips.
+    A, B = batch(n=4)
+    (m1, l1), (m2, l2) = _run_pair(dict(model=model), A, B, steps=1)
+    for k in l1:
+        assert np.isfinite(float(l2[k]))
+        assert abs(float(l1[k]) - float(l2[k])) < 1e-5, (
+            k, float(l1[k]), float(l2[k]))
+    assert _max_leaf_diff(m1.state.params, m2.state.params) < 5e-4
+
+
+def test_aug_accum_matches_fused_step_tiled_batch():
+    # netE_B / netD_z_B have internal batch norm; on a tiled batch the
+    # per-microbatch statistics equal the full-batch statistics, so the
+    # accumulated step must match the fused one exactly there too.
+    A1, B1 = batch(n=1, seed=3)
+    A = jnp.tile(A1, (4, 1, 1, 1))
+    B = jnp.tile(B1, (4, 1, 1, 1))
+    z = jnp.tile(jnp.asarray(
+        np.random.RandomState(5).randn(1, 8).astype(np.float32)), (4, 1))
+    (m1, l1), (m2, l2) = _run_pair(dict(), A, B, z=z)
+    for k in l1:
+        assert abs(float(l1[k]) - float(l2[k])) < 2e-4, (
+            k, float(l1[k]), float(l2[k]))
+    assert _max_leaf_diff(m1.state.params, m2.state.params) < 5e-4
+
+
+def test_aug_accum_varied_batch_trains():
+    # full contract on a varied batch: finite losses (all reference keys),
+    # params move, visuals keep the fused step's shapes/order
+    cfg = tiny_cfg(grad_accum=2, stoch_enc=True)
+    m = create_model(cfg, testing=True)
+    A, B = batch(n=4)
+    p0 = jax.tree_util.tree_map(jnp.copy, m.state.params)
+    losses, visuals, gnorms = m.train_instance(A, B)
+    assert list(losses.keys()) == ["D_A", "G_A", "Cyc_A", "Cyc_z_B",
+                                   "KLD_z_B", "D_B", "G_B", "Cyc_B", "D_z_B",
+                                   "P_t_A", "P_f_A", "P_t_B", "P_f_B"]
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    for k in ("real_A", "fake_B", "rec_A", "real_B", "fake_A", "rec_B"):
+        assert visuals[k].shape == A.shape
+    assert _max_leaf_diff(p0, m.state.params) > 0
+    for k in ("mu_min", "mu_max", "logvar_min", "logvar_max"):
+        assert np.isfinite(float(gnorms[k]))
+
+
+def test_accum_visuals_sample_order():
+    # microbatch j holds samples {i*K + j}; the merged visuals must come
+    # back in original batch order — fake_B[i] is a function of A[i] only
+    # (instance norms, per-sample), so permuting sample 0 must change
+    # fake_B[0] and nothing else.
+    # z must be nonzero: the CIN generator's scales are linear in z, so
+    # z == 0 makes fake_B exactly input-independent (a constant image)
+    A, B = batch(n=4, seed=9)
+    m = create_model(tiny_cfg(model="stoch_cycle_gan", seed=2,
+                              grad_accum=2), testing=True)
+    z = jnp.asarray(np.random.RandomState(5).randn(4, 8).astype(np.float32))
+    _, vis, _ = m.train_instance(A, B, z)
+    m2 = create_model(tiny_cfg(model="stoch_cycle_gan", seed=2,
+                               grad_accum=2), testing=True)
+    A2 = A.at[0].set(A[1])
+    _, vis2, _ = m2.train_instance(A2, B, z)
+    d = np.abs(np.asarray(vis2["fake_B"]) - np.asarray(vis["fake_B"]))
+    assert d[0].max() > 1e-4
+    assert d[1:].max() < 1e-6
+
+
+def test_accum_dropout_masks_differ_per_microbatch():
+    cfg = tiny_cfg(grad_accum=2, use_dropout=True)
+    m = create_model(cfg, testing=True)
+    A, B = batch(n=4)
+    losses, _, _ = m.train_instance(A, B)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_accum_composes_with_data_parallel():
+    # dp x accum: 8-sample batch over 4 devices, 2 microbatches — losses
+    # must match the fused single-device step on the same batch (the
+    # microbatch split slices the batch axis locally per device)
+    from domain_transfer_gan_tpu.parallel import DataParallel
+    rng = np.random.RandomState(0)
+    A = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    B = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    z = rng.randn(8, 8).astype(np.float32)
+
+    m1 = create_model(tiny_cfg(seed=1, batchSize=8,
+                               model="stoch_cycle_gan"), testing=True)
+    l1, _, _ = m1.train_instance(A, B, z)
+
+    m2 = create_model(tiny_cfg(seed=1, batchSize=8, model="stoch_cycle_gan",
+                               grad_accum=2), testing=True)
+    dp = DataParallel(m2, num_devices=4)
+    l2, _, _ = dp.train_instance(A, B, z)
+    for k in l1:
+        assert np.isclose(float(l1[k]), float(l2[k]), rtol=2e-3,
+                          atol=2e-4), (k, float(l1[k]), float(l2[k]))
+
+
+@pytest.mark.parametrize("bad, err", [
+    (dict(pool_size=8), "pool_size"),
+    (dict(norm="batch"), "norm batch"),
+    (dict(pipeline=2, n_blocks=4), "pipeline"),
+    (dict(supervised=True), "supervised"),
+])
+def test_accum_guards(bad, err):
+    with pytest.raises(ValueError, match=err):
+        create_model(tiny_cfg(grad_accum=2, **bad), testing=True)
+
+
+def test_accum_batch_divisibility_error():
+    m = create_model(tiny_cfg(model="stoch_cycle_gan", grad_accum=3),
+                     testing=True)
+    A, B = batch(n=4)
+    with pytest.raises(ValueError, match="divisible"):
+        m.train_instance(A, B)
