@@ -360,7 +360,7 @@ def train_model(opt: TrainConfig = None, argv=None):
                     check_losses_finite(sup_losses, epoch, i)
             timer.tick(opt.batchSize)
 
-            if total_steps % opt.display_freq == 0:
+            if opt.display_freq and total_steps % opt.display_freq == 0:
                 visualize_cycle(opt, real_A, visuals, epoch,
                                 epoch_iter // opt.batchSize, train=True)
                 dev_data = next(dev_cycle)
@@ -376,7 +376,7 @@ def train_model(opt: TrainConfig = None, argv=None):
                     visualize_inference(opt, dev_A, dev_B, model, epoch,
                                         epoch_iter // opt.batchSize)
 
-            if total_steps % opt.print_freq == 0:
+            if opt.print_freq and total_steps % opt.print_freq == 0:
                 sec_per_item, img_per_sec, _, _ = timer.window(
                     sync_array=losses["D_A"])
                 print_log(out_f, format_log(epoch, epoch_iter, losses,
@@ -396,13 +396,15 @@ def train_model(opt: TrainConfig = None, argv=None):
             trace_active = False
             print_log(out_f, "profiler trace written to %s" % opt.profile_dir)
 
-        if epoch % opt.save_epoch_freq == 0:
+        if opt.save_epoch_freq and epoch % opt.save_epoch_freq == 0:
             print_log(out_f, "saving the model at the end of epoch %d, "
                       "iters %d" % (epoch, total_steps))
             model.save("latest", async_save=True)
 
         # ----- evaluate mappings (reference train.py:256-305) -----------
-        if epoch % opt.eval_A_freq == 0:
+        # freq 0 disables a cadence entirely (the reference's ints are always
+        # >=1; 0 would crash its modulo too — here it means 'never')
+        if opt.eval_A_freq and epoch % opt.eval_A_freq == 0:
             t = time.time()
             dev_mse_A = eval_mse_A(dev_dataset, model)
             test_mse_A = eval_mse_A(test_dataset, model)
@@ -423,7 +425,7 @@ def train_model(opt: TrainConfig = None, argv=None):
                 res_str_list += ["*** BEST DEV A ***"]
             print_log(out_f, "\n".join(["-" * 60] + res_str_list + ["-" * 60]))
 
-        if epoch % opt.eval_B_freq == 0:
+        if opt.eval_B_freq and epoch % opt.eval_B_freq == 0:
             t = time.time()
             steps = 1 if opt.model == "cycle_gan" else 50
             dev_ubo_B, dev_bpp_B, dev_kld_B = eval_ubo_B(

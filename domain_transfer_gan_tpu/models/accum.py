@@ -28,8 +28,13 @@ Semantics relative to the fused steps (models/steps.py):
   batch norm (networks.py:396-483 quirks), so there — as in every
   framework's gradient accumulation — normalization statistics are
   per-microbatch and running stats update once per microbatch instead of
-  once per step.  Training-mode outputs never read running stats, so this
-  affects only the stored batch_stats, not the loss/gradient path.
+  once per step.  The D phase's extra netE_B forward reads the step-entry
+  stats and discards its update (train-mode batch norm never reads running
+  stats, so outputs are unchanged), keeping the stats cadence at exactly
+  one update per microbatch per encoder application — the microbatched
+  analogue of the fused step's cadence, not 1.5x it.  Training-mode
+  outputs never read running stats, so this affects only the stored
+  batch_stats, not the loss/gradient path.
 - The phase-0 forward is recomputed inside the G phase's gradient (the
   fused step shares it via jax.vjp); with K microbatches resident
   activations shrink ~K-fold at the cost of one extra generator forward
@@ -240,8 +245,13 @@ def make_stoch_accum_step(nets, cfg: TrainConfig, ignore_noise: bool):
             "P_t_A": d_loss["P_t_A"], "P_f_A": g_loss["P_f_A"],
             "P_t_B": d_loss["P_t_B"], "P_f_B": g_loss["P_f_B"],
         }
-        visuals = {"real_A": real_A, "real_B": real_B}
-        visuals.update({k: _merge_micro(v) for k, v in vis_chunks.items()})
+        # explicit reference order (train.py visualize_cycle lays grid
+        # columns out of dict order): real_A, fake_B, rec_A, real_B,
+        # fake_A, rec_B — same as the fused step's visuals
+        vis = {k: _merge_micro(v) for k, v in vis_chunks.items()}
+        visuals = {"real_A": real_A, "fake_B": vis["fake_B"],
+                   "rec_A": vis["rec_A"], "real_B": real_B,
+                   "fake_A": vis["fake_A"], "rec_B": vis["rec_B"]}
         new_state = state.replace(params=new_p, batch_stats=dict(stats),
                                   opt_state=new_opt, step=state.step + 1,
                                   pools=dict(state.pools),
@@ -305,13 +315,19 @@ def make_aug_accum_step(nets, cfg: TrainConfig):
             return fake_B, fake_A, post
 
         # ----- phase 1: D gradients accumulated over microbatches -------
-        # Running batch-norm stats (netD_z_B's BN1d, netE_B's internal BN)
-        # thread through the scan carry: one update per microbatch.
+        # netD_z_B's BN1d running stats thread through the scan carry (one
+        # update per microbatch).  netE_B's D-phase forward reads the
+        # step-entry stats and DISCARDS its update: train-mode batch norm
+        # never reads running stats, so the outputs are identical, and the
+        # G phase below then advances netE_B's stats exactly once per
+        # microbatch — matching the documented once-per-microbatch
+        # semantics instead of the 3x cadence a carried D-phase update
+        # would produce.
         def d_micro(carry, j):
-            acc_g, acc_l, st_E, st_Dz = carry
+            acc_g, acc_l, st_Dz = carry
             rA, rB, pz, eps = (_at(x, j) for x in xs)
-            fake_B, fake_A, (post_z, mu, _lv, logvar_eff, st_E) = fwd_phase0(
-                g_params, st_E, rA, rB, pz, eps, j)
+            fake_B, fake_A, (post_z, mu, _lv, logvar_eff, _stE) = fwd_phase0(
+                g_params, stats["netE_B"], rA, rB, pz, eps, j)
 
             def d_loss_fn(dp):
                 pf_A, pt_A, _ = score_pair("netD_A", dp["netD_A"],
@@ -343,17 +359,17 @@ def make_aug_accum_step(nets, cfg: TrainConfig):
                 logvar_max=jnp.maximum(ranges["logvar_max"],
                                        jnp.max(logvar_eff)))
             return (_tree_add(acc_g, grads), (_tree_add(acc_l, laux), ranges),
-                    st_E, st_Dz), None
+                    st_Dz), None
 
         zero_l = {k: jnp.zeros(()) for k in
                   ("D_A", "D_B", "D_z_B", "P_t_A", "P_t_B")}
         inf = jnp.array(jnp.inf)
         ranges0 = dict(mu_min=inf, mu_max=-inf,
                        logvar_min=inf, logvar_max=-inf)
-        (d_gsum, (d_lsum, ranges), st_E1, st_Dz1), _ = jax.lax.scan(
+        (d_gsum, (d_lsum, ranges), st_Dz1), _ = jax.lax.scan(
             d_micro,
             (_zeros_like_tree(d_params), (zero_l, ranges0),
-             stats["netE_B"], stats["netD_z_B"]),
+             stats["netD_z_B"]),
             jnp.arange(k_micro))
         d_grads = _tree_scale(d_gsum, 1.0 / k_micro)
         d_loss = _tree_scale(d_lsum, 1.0 / k_micro)
@@ -429,7 +445,8 @@ def make_aug_accum_step(nets, cfg: TrainConfig):
                    ("G_A", "G_B", "G_z_B", "Cyc_A", "Cyc_B", "Cyc_z_B",
                     "KLD_z_B", "P_f_A", "P_f_B")}
         (g_gsum, g_lsum, st_E2, st_Dz2), vis_chunks = jax.lax.scan(
-            g_micro, (_zeros_like_tree(g_params), zero_gl, st_E1, st_Dz1),
+            g_micro,
+            (_zeros_like_tree(g_params), zero_gl, stats["netE_B"], st_Dz1),
             jnp.arange(k_micro))
         g_grads = _tree_scale(g_gsum, 1.0 / k_micro)
         g_loss = _tree_scale(g_lsum, 1.0 / k_micro)
@@ -449,8 +466,10 @@ def make_aug_accum_step(nets, cfg: TrainConfig):
             "P_t_A": d_loss["P_t_A"], "P_f_A": g_loss["P_f_A"],
             "P_t_B": d_loss["P_t_B"], "P_f_B": g_loss["P_f_B"],
         }
-        visuals = {"real_A": real_A, "real_B": real_B}
-        visuals.update({k: _merge_micro(v) for k, v in vis_chunks.items()})
+        vis = {k: _merge_micro(v) for k, v in vis_chunks.items()}
+        visuals = {"real_A": real_A, "fake_B": vis["fake_B"],
+                   "rec_A": vis["rec_A"], "real_B": real_B,
+                   "fake_A": vis["fake_A"], "rec_B": vis["rec_B"]}
         new_state = state.replace(params=new_p, batch_stats=new_stats,
                                   opt_state=new_opt, step=state.step + 1,
                                   pools=dict(state.pools),

@@ -53,6 +53,14 @@ def _as_jnp(x):
     return x if isinstance(x, jax.Array) else jnp.asarray(x)
 
 
+def _reorder_visuals(visuals):
+    """jit canonicalizes dict outputs to key-sorted order; restore the
+    reference's visuals order (model.py:518-525 OrderedDict), which
+    cli/train.py visualize_cycle turns into grid COLUMNS via .values()."""
+    order = ("real_A", "fake_B", "rec_A", "real_B", "fake_A", "rec_B")
+    return OrderedDict((k, visuals[k]) for k in order)
+
+
 class _CycleGANBase:
     """Shared plumbing: state, jit caches, lr schedule, checkpoint IO."""
 
@@ -421,6 +429,7 @@ class StochCycleGAN(_CycleGANBase):
         order = ["D_A", "G_A", "Cyc_A", "D_B", "G_B", "Cyc_B",
                  "P_t_A", "P_f_A", "P_t_B", "P_f_B"]
         losses = OrderedDict((k, losses[k]) for k in order)
+        visuals = _reorder_visuals(visuals)
         if self.opt.monitor_gnorm:
             g = OrderedDict([("gnorm_G_A_B", gnorms["gnorm_G_A_B"]),
                              ("gnorm_G_B_A", gnorms["gnorm_G_B_A"]),
@@ -495,6 +504,7 @@ class AugmentedCycleGAN(_CycleGANBase):
         order = ["D_A", "G_A", "Cyc_A", "Cyc_z_B", "KLD_z_B", "D_B", "G_B",
                  "Cyc_B", "D_z_B", "P_t_A", "P_f_A", "P_t_B", "P_f_B"]
         losses = OrderedDict((k, losses[k]) for k in order)
+        visuals = _reorder_visuals(visuals)
         if self.opt.monitor_gnorm:
             g = OrderedDict([("gnorm_G_A_B", gnorms["gnorm_G_A_B"]),
                              ("gnorm_G_B_A", gnorms["gnorm_G_B_A"]),

@@ -102,7 +102,11 @@ def test_aug_accum_varied_batch_trains():
                                    "P_t_A", "P_f_A", "P_t_B", "P_f_B"]
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
-    for k in ("real_A", "fake_B", "rec_A", "real_B", "fake_A", "rec_B"):
+    # cli/train.py visualize_cycle lays grid columns out of dict ORDER —
+    # the accum step must emit the fused step's exact reference order
+    assert list(visuals.keys()) == ["real_A", "fake_B", "rec_A",
+                                    "real_B", "fake_A", "rec_B"]
+    for k in visuals:
         assert visuals[k].shape == A.shape
     assert _max_leaf_diff(p0, m.state.params) > 0
     for k in ("mu_min", "mu_max", "logvar_min", "logvar_max"):
@@ -121,6 +125,8 @@ def test_accum_visuals_sample_order():
                               grad_accum=2), testing=True)
     z = jnp.asarray(np.random.RandomState(5).randn(4, 8).astype(np.float32))
     _, vis, _ = m.train_instance(A, B, z)
+    assert list(vis.keys()) == ["real_A", "fake_B", "rec_A",
+                                "real_B", "fake_A", "rec_B"]
     m2 = create_model(tiny_cfg(model="stoch_cycle_gan", seed=2,
                                grad_accum=2), testing=True)
     A2 = A.at[0].set(A[1])
