@@ -9,10 +9,17 @@ same iterator seed, so batch index order is identical), the metric stack
 Each arm uses its own framework RNG for z/eps draws (cross-framework RNG
 bit-parity is not achievable; parity is statistical — SURVEY.md §7).
 
+Round 4: generalized over ``--model`` (all three reference variants,
+train.py:157-166), plus jax-arm ``--stoch_enc`` / ``--supervised`` arms
+(reference model.py:415-419, train.py:142-154), and two extractor-free
+corroborating distances (channel moments + radial log spectrum,
+eval/moments.py) recorded alongside proxy-FID at every eval.
+
 Usage:
-  python -m benchmarks.quality_parity torch --dataroot D --out torch.json
+  python -m benchmarks.quality_parity torch --dataroot D --out torch.json \
+      [--model stoch_cycle_gan]
   python -m benchmarks.quality_parity jax   --dataroot D --out jax.json \
-      [--dtype bfloat16]
+      [--dtype bfloat16] [--model cycle_gan] [--stoch_enc] [--supervised]
 
 Outputs one JSON file per arm: {"config": {...}, "history": [
   {"epoch": e, "mse_A": m, "fid_B": f, "losses": {...}}, ...]}
@@ -33,8 +40,13 @@ DIV_NUM_Z = 10    # z draws per input (reference generate_multi grid width)
 # both arms log exactly this key set so the per-loss trajectories line up
 # (G_z_B is excluded: the torch proxy exposes it but the reference's own
 # error surface — and hence the jax train_instance — does not)
-PARITY_LOSS_KEYS = ("D_A", "D_B", "D_z_B", "G_A", "G_B",
-                    "Cyc_A", "Cyc_B", "Cyc_z_B")
+AUG_LOSS_KEYS = ("D_A", "D_B", "D_z_B", "G_A", "G_B",
+                 "Cyc_A", "Cyc_B", "Cyc_z_B")
+STOCH_LOSS_KEYS = ("D_A", "D_B", "G_A", "G_B", "Cyc_A", "Cyc_B")
+
+
+def parity_loss_keys(model):
+    return AUG_LOSS_KEYS if model == "aug_cycle_gan" else STOCH_LOSS_KEYS
 
 
 def _load(dataroot, iter_seed, batch):
@@ -45,7 +57,13 @@ def _load(dataroot, iter_seed, batch):
     train_it = UnalignedIterator(
         trainA, trainB, batch_size=batch,
         rng=np.random.RandomState(iter_seed))
-    return train_it, (devA, devB), (testA, testB)
+    return train_it, (trainA, trainB), (devA, devB), (testA, testB)
+
+
+def _dists(dev_B, fake_B):
+    """Extractor-free corroborating distances (VERDICT r3 weak #3)."""
+    from domain_transfer_gan_tpu.eval.moments import distribution_distances
+    return distribution_distances(dev_B, fake_B)
 
 
 def _fid(dev_B, fake_B):
@@ -58,18 +76,25 @@ def _fid(dev_B, fake_B):
 # ---------------------------------------------------------------------------
 
 def run_torch(dataroot, out, epochs, niter, batch, seed, eval_freq,
-              iter_seed, d_lr_mode="reference"):
+              iter_seed, d_lr_mode="reference", model="aug_cycle_gan"):
     # keep jax (used only for the FID extractor) off the TPU so the jax arm
     # can own the single chip concurrently
     import jax
     jax.config.update("jax_platforms", "cpu")
     import torch
     from benchmarks.torch_proxy import (build_nets, make_optimizers,
-                                        train_step)
+                                        train_step, train_step_stoch)
     torch.manual_seed(seed)
-    nets = build_nets(ZDIM, seed=seed)
+    nets = build_nets(ZDIM, seed=seed, model=model)
     opt_g, opt_d = make_optimizers(nets)
-    train_it, (devA, devB), _ = _load(dataroot, iter_seed, batch)
+    train_it, _, (devA, devB), _ = _load(dataroot, iter_seed, batch)
+    ignore_noise = model == "cycle_gan"
+
+    def draw_z(n):
+        # cycle_gan forces z == 1 (reference model.py:128-129)
+        if ignore_noise:
+            return torch.ones(n, ZDIM, 1, 1)
+        return torch.randn(n, ZDIM, 1, 1)
 
     # ---- resume: this arm runs for hours on a single CPU core, so every
     # epoch checkpoints nets + optimizers + both RNG streams (torch for
@@ -122,39 +147,49 @@ def run_torch(dataroot, out, epochs, niter, batch, seed, eval_freq,
                 B = to_t(devB[i:i + EVAL_BATCH])
                 pred_A = nets["g_ba"](B)
                 mses.append(float(torch.mean((pred_A - A) ** 2)))
-                z = torch.randn(A.shape[0], ZDIM, 1, 1)
+                z = draw_z(A.shape[0])
                 fb = nets["g_ab"](A, z)
                 fakes.append(np.transpose(fb.numpy(), (0, 2, 3, 1)))
             # many-to-many: DIV_NUM_Z decodes per input, input-major
             multi = []
             for a in to_t(devA[:DIV_INPUTS]):
-                zK = torch.randn(DIV_NUM_Z, ZDIM, 1, 1)
+                zK = draw_z(DIV_NUM_Z)
                 aK = a[None].expand(DIV_NUM_Z, -1, -1, -1)
                 multi.append(np.transpose(nets["g_ab"](aK, zK).numpy(),
                                           (0, 2, 3, 1)))
-        fid = _fid(devB, np.concatenate(fakes))
+        fakes = np.concatenate(fakes)
+        fid = _fid(devB, fakes)
+        dd = _dists(devB, fakes)
         div = z_diversity_stats(np.concatenate(multi), DIV_NUM_Z)
-        return float(np.mean(mses)), fid, div
+        return float(np.mean(mses)), fid, div, dd
 
     for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
         ep_losses = []
         for data in train_it:
             A, B = to_t(data["A"]), to_t(data["B"])
-            z = torch.randn(A.shape[0], ZDIM, 1, 1)
-            ep_losses.append(train_step(nets, opt_g, opt_d, A, B, z))
+            z = draw_z(A.shape[0])
+            if model == "aug_cycle_gan":
+                ep_losses.append(train_step(nets, opt_g, opt_d, A, B, z))
+            else:
+                ep_losses.append(
+                    train_step_stoch(nets, opt_g, opt_d, A, B, z))
+        keys = parity_loss_keys(model)
         mean_losses = {k: float(np.mean([d[k] for d in ep_losses]))
-                       for k in ep_losses[0] if k in PARITY_LOSS_KEYS}
+                       for k in ep_losses[0] if k in keys}
         rec = {"epoch": epoch, "losses": mean_losses,
                "epoch_sec": time.time() - t0}
         if epoch % eval_freq == 0 or epoch == epochs:
-            mse, fid, div = dev_metrics()
-            rec.update(mse_A=mse, fid_B=fid, z_div=div)
-            print("[torch %d] MSE_A %.4f FID_B %.3f zdiv %.3f (%.0fs)"
-                  % (epoch, mse, fid, div["ratio"], rec["epoch_sec"]),
-                  flush=True)
+            mse, fid, div, dd = dev_metrics()
+            rec.update(mse_A=mse, fid_B=fid, z_div=div,
+                       cmd_B=dd["cmd"], rsd_B=dd["rsd"])
+            print("[torch %d] MSE_A %.4f FID_B %.3f cmd %.4f rsd %.4f "
+                  "zdiv %.3f (%.0fs)"
+                  % (epoch, mse, fid, dd["cmd"], dd["rsd"], div["ratio"],
+                     rec["epoch_sec"]), flush=True)
         history.append(rec)
-        _dump(out, "torch", epochs, niter, batch, seed, history, d_lr_mode)
+        _dump(out, "torch-" + model, epochs, niter, batch, seed, history,
+              d_lr_mode, model=model)
         if epoch > niter:  # linear decay, reference model.py:282-291
             lr -= 2e-4 / (epochs - niter)
             for g in opt_g.param_groups:
@@ -172,7 +207,11 @@ def run_torch(dataroot, out, epochs, niter, batch, seed, eval_freq,
 # ---------------------------------------------------------------------------
 
 def run_jax(dataroot, out, epochs, niter, batch, seed, eval_freq, iter_seed,
-            dtype="float32", ema=0.0, d_lr_mode="reference", size=64):
+            dtype="float32", ema=0.0, d_lr_mode="reference", size=64,
+            model_name="aug_cycle_gan", stoch_enc=False, supervised=False,
+            sup_frac=0.1):
+    import itertools
+
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -183,18 +222,27 @@ def run_jax(dataroot, out, epochs, niter, batch, seed, eval_freq, iter_seed,
     from domain_transfer_gan_tpu.eval import eval_mse_A
     from domain_transfer_gan_tpu.models import create_model
 
-    cfg = TrainConfig(model="aug_cycle_gan", grid_size=size, batchSize=batch,
+    cfg = TrainConfig(model=model_name, grid_size=size, batchSize=batch,
                       ngf=32, nef=32, ndf=64, nlatent=ZDIM,
                       niter=niter, niter_decay=epochs - niter,
                       use_pallas=False, compute_dtype=dtype,
                       monitor_gnorm=False, seed=seed, ema=ema,
-                      d_lr_mode=d_lr_mode)
+                      d_lr_mode=d_lr_mode, stoch_enc=stoch_enc,
+                      supervised=supervised, sup_frac=sup_frac)
     cfg.expr_dir = ""
     # size != 64 exercises the adaptive-pool latent encoder
     # (nn/networks.py LatentEncoder) — the capability extension that makes
     # aug_cycle_gan train at the reference's default 256 (or 128) grid
     model = create_model(cfg, testing=True, image_size=size)
-    train_it, (devA, devB), _ = _load(dataroot, iter_seed, batch)
+    train_it, (trainA, trainB), (devA, devB), _ = _load(dataroot, iter_seed,
+                                                        batch)
+    sup_iter = None
+    if supervised:
+        # paired subset + cycle, reference train.py:142-154 semantics
+        # (mirrors cli/train.py:181-193)
+        sup_size = max(int(len(trainA) * sup_frac), 1)
+        sup_iter = itertools.cycle(iter(AlignedIterator(
+            trainA[:sup_size], trainB[:sup_size], batch_size=batch)))
     # the fully-convolutional nets would train on mismatched-resolution
     # data without error — refuse to produce mislabeled quality evidence
     if devA.shape[1] != size:
@@ -212,41 +260,65 @@ def run_jax(dataroot, out, epochs, niter, batch, seed, eval_freq, iter_seed,
             A = jnp.asarray(devA[i:i + EVAL_BATCH])
             z = model.sample_prior_z(A.shape[0])
             fakes.append(np.asarray(model.predict_B(A, z)))
-        fid = _fid(devB, np.concatenate(fakes))
+        fakes = np.concatenate(fakes)
+        fid = _fid(devB, fakes)
+        dd = _dists(devB, fakes)
         div = eval_z_diversity(model, devA[:DIV_INPUTS], num_z=DIV_NUM_Z)
         model.swap_ema()
-        return float(mse), fid, div
+        return float(mse), fid, div, dd
 
+    keys = parity_loss_keys(model_name)
+    arm = ("jax-" + dtype + (("-ema%g" % ema) if ema else "")
+           + ("-stochenc" if stoch_enc else "")
+           + ("-sup%g" % sup_frac if supervised else ""))
     history = []
     for epoch in range(1, epochs + 1):
         t0 = time.time()
-        ep_losses = []
+        ep_losses, ep_sup = [], []
         for data in train_it:
-            losses, _ = model.train_instance(data["A"], data["B"])
+            n = data["A"].shape[0]
+            # supervised runs reuse the unsupervised step's prior draw
+            # (reference train.py:211-216) — draw it explicitly here so
+            # both steps see the same z
+            prior_z = model.sample_prior_z(n) if supervised else None
+            losses, _ = model.train_instance(data["A"], data["B"], prior_z)
             ep_losses.append(losses)
+            if supervised:
+                sup_data = next(sup_iter)
+                sup_z = prior_z
+                if sup_data["A"].shape[0] != n:
+                    sup_z = model.sample_prior_z(sup_data["A"].shape[0])
+                ep_sup.append(model.supervised_train_instance(
+                    sup_data["A"], sup_data["B"], sup_z))
         mean_losses = {k: float(np.mean([float(d[k]) for d in ep_losses]))
-                       for k in PARITY_LOSS_KEYS if k in ep_losses[0]}
+                       for k in keys if k in ep_losses[0]}
+        if ep_sup:
+            mean_losses.update(
+                {k: float(np.mean([float(d[k]) for d in ep_sup]))
+                 for k in ("S_A", "S_B") if k in ep_sup[0]})
         rec = {"epoch": epoch, "losses": mean_losses,
                "epoch_sec": time.time() - t0}
         if epoch % eval_freq == 0 or epoch == epochs:
-            mse, fid, div = dev_metrics()
-            rec.update(mse_A=mse, fid_B=fid, z_div=div)
-            print("[jax %d] MSE_A %.4f FID_B %.3f zdiv %.3f (%.0fs)"
-                  % (epoch, mse, fid, div["ratio"], rec["epoch_sec"]),
-                  flush=True)
+            mse, fid, div, dd = dev_metrics()
+            rec.update(mse_A=mse, fid_B=fid, z_div=div,
+                       cmd_B=dd["cmd"], rsd_B=dd["rsd"])
+            print("[jax %d] MSE_A %.4f FID_B %.3f cmd %.4f rsd %.4f "
+                  "zdiv %.3f (%.0fs)"
+                  % (epoch, mse, fid, dd["cmd"], dd["rsd"], div["ratio"],
+                     rec["epoch_sec"]), flush=True)
         history.append(rec)
-        _dump(out, "jax-" + dtype + (("-ema%g" % ema) if ema else ""),
-              epochs, niter, batch, seed, history, d_lr_mode, size)
+        _dump(out, arm, epochs, niter, batch, seed, history, d_lr_mode,
+              size, model=model_name)
         if epoch > niter:
             model.update_learning_rate()
     return history
 
 
 def _dump(out, arm, epochs, niter, batch, seed, history,
-          d_lr_mode="reference", size=64):
+          d_lr_mode="reference", size=64, model="aug_cycle_gan"):
     with open(out, "w") as f:
-        json.dump({"config": {"arm": arm, "epochs": epochs, "niter": niter,
-                              "batch": batch, "seed": seed,
+        json.dump({"config": {"arm": arm, "model": model, "epochs": epochs,
+                              "niter": niter, "batch": batch, "seed": seed,
                               "d_lr_mode": d_lr_mode, "size": size},
                    "history": history}, f, indent=1)
 
@@ -269,15 +341,28 @@ def main():
     ap.add_argument("--size", type=int, default=64,
                     help="grid size (jax arm only; !=64 uses the "
                          "adaptive-pool encoder)")
+    ap.add_argument("--model", default="aug_cycle_gan",
+                    choices=["aug_cycle_gan", "stoch_cycle_gan",
+                             "cycle_gan"])
+    ap.add_argument("--stoch_enc", action="store_true",
+                    help="VAE-style posterior sampling + KLD in loss "
+                         "(jax arm only; reference model.py:415-419)")
+    ap.add_argument("--supervised", action="store_true",
+                    help="add the paired supervised step each iteration "
+                         "(jax arm only; reference train.py:142-154)")
+    ap.add_argument("--sup_frac", type=float, default=0.1)
     args = ap.parse_args()
     if args.arm == "torch":
+        if args.stoch_enc or args.supervised:
+            ap.error("--stoch_enc/--supervised are jax-arm options")
         run_torch(args.dataroot, args.out, args.epochs, args.niter,
                   args.batch, args.seed, args.eval_freq, args.iter_seed,
-                  args.d_lr_mode)
+                  args.d_lr_mode, args.model)
     else:
         run_jax(args.dataroot, args.out, args.epochs, args.niter, args.batch,
                 args.seed, args.eval_freq, args.iter_seed, args.dtype,
-                args.ema, args.d_lr_mode, args.size)
+                args.ema, args.d_lr_mode, args.size, args.model,
+                args.stoch_enc, args.supervised, args.sup_frac)
 
 
 if __name__ == "__main__":

@@ -169,10 +169,15 @@ def reference_weights_init(m):
         nn.init.zeros_(m.bias)
 
 
-def build_nets(zdim=16, seed=0, init="reference"):
+def build_nets(zdim=16, seed=0, init="reference", model="aug_cycle_gan"):
+    """Nets for any of the three reference variants (train.py:157-166):
+    aug = 6 nets; stoch_cycle_gan / cycle_gan = the 4 image nets only
+    (reference model.py:75-124 — no encoder, no latent discriminator)."""
     torch.manual_seed(seed)
     nets = dict(g_ab=GenAB(zdim), g_ba=gen_ba(), d_a=disc_global(),
-                d_b=disc_patch(), d_z=disc_latent(zdim), enc=Encoder(zdim))
+                d_b=disc_patch())
+    if model == "aug_cycle_gan":
+        nets.update(d_z=disc_latent(zdim), enc=Encoder(zdim))
     if init == "reference":
         for m in nets.values():
             m.apply(reference_weights_init)
@@ -181,12 +186,14 @@ def build_nets(zdim=16, seed=0, init="reference"):
 
 def make_optimizers(nets, lr=2e-4):
     """G optimizers at lr, D at lr/5, Adam betas (0.5, 0.999)."""
-    opt_g = torch.optim.Adam(
-        [*nets["g_ab"].parameters(), *nets["g_ba"].parameters(),
-         *nets["enc"].parameters()], lr=lr, betas=(0.5, 0.999))
-    opt_d = torch.optim.Adam(
-        [*nets["d_a"].parameters(), *nets["d_b"].parameters(),
-         *nets["d_z"].parameters()], lr=lr / 5.0, betas=(0.5, 0.999))
+    g_params = [*nets["g_ab"].parameters(), *nets["g_ba"].parameters()]
+    d_params = [*nets["d_a"].parameters(), *nets["d_b"].parameters()]
+    if "enc" in nets:
+        g_params += list(nets["enc"].parameters())
+    if "d_z" in nets:
+        d_params += list(nets["d_z"].parameters())
+    opt_g = torch.optim.Adam(g_params, lr=lr, betas=(0.5, 0.999))
+    opt_d = torch.optim.Adam(d_params, lr=lr / 5.0, betas=(0.5, 0.999))
     return opt_g, opt_d
 
 
@@ -246,6 +253,55 @@ def train_step(nets, opt_g, opt_d, A, B, z, lambda_A=1.0, lambda_B=1.0,
     opt_g.step()
     vals = dict(D_A=loss_d_a, D_B=loss_d_b, D_z_B=loss_d_z, G_A=lg_a,
                 G_B=lg_b, G_z_B=lg_z, Cyc_A=cyc_A, Cyc_B=cyc_B, Cyc_z_B=cyc_z)
+    return {k: float(v.detach()) for k, v in vals.items()}
+
+
+def train_step_stoch(nets, opt_g, opt_d, A, B, z, lambda_A=1.0,
+                     lambda_B=1.0, max_gnorm=500.0):
+    """One two-phase StochCycleGAN step (reference model.py:126-208):
+    same structure as the aug step minus the encoder / latent terms.
+    The cycle_gan variant is this step with the caller passing z == 1
+    (reference model.py:128-129 ignore_noise)."""
+    g_ab, g_ba = nets["g_ab"], nets["g_ba"]
+    d_a, d_b = nets["d_a"], nets["d_b"]
+    mse, l1 = F.mse_loss, F.l1_loss
+
+    fake_B = g_ab(A, z)
+    fake_A = g_ba(B)
+
+    # D phase (detached fakes)
+    pa_f = d_a(fake_A.detach())
+    pa_t = d_a(A)
+    loss_d_a = 0.5 * (mse(pa_f, torch.zeros_like(pa_f))
+                      + mse(pa_t, torch.ones_like(pa_t)))
+    pb_f = d_b(fake_B.detach())
+    pb_t = d_b(B)
+    loss_d_b = 0.5 * (mse(pb_f, torch.zeros_like(pb_f))
+                      + mse(pb_t, torch.ones_like(pb_t)))
+    opt_d.zero_grad()
+    (loss_d_a + loss_d_b).backward()
+    for m in (d_a, d_b):
+        torch.nn.utils.clip_grad_norm_(m.parameters(), max_gnorm)
+    opt_d.step()
+
+    # G phase (vs updated D; rec_B reuses the SAME prior z,
+    # reference model.py:176-179)
+    pa = d_a(fake_A)
+    lg_a = mse(pa, torch.ones_like(pa))
+    pb = d_b(fake_B)
+    lg_b = mse(pb, torch.ones_like(pb))
+    rec_A = g_ba(fake_B)
+    rec_B = g_ab(fake_A, z)
+    cyc_A = l1(rec_A, A)
+    cyc_B = l1(rec_B, B)
+    lg = lg_a + lg_b + lambda_A * cyc_A + lambda_B * cyc_B
+    opt_g.zero_grad()
+    lg.backward()
+    for m in (g_ab, g_ba):
+        torch.nn.utils.clip_grad_norm_(m.parameters(), max_gnorm)
+    opt_g.step()
+    vals = dict(D_A=loss_d_a, D_B=loss_d_b, G_A=lg_a, G_B=lg_b,
+                Cyc_A=cyc_A, Cyc_B=cyc_B)
     return {k: float(v.detach()) for k, v in vals.items()}
 
 
