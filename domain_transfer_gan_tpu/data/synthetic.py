@@ -46,6 +46,52 @@ def write_synthetic_dataset(root: str, n_train: int = 256, n_test: int = 64,
     return root
 
 
+def make_synthetic_livneh_pair(n: int, size: int = 64, seed: int = 0,
+                               nan_frac: float = 0.08):
+    """Livneh-shaped raster pair (the fork's science config, README.md:3).
+
+    Domain A mimics the 4-channel atmospheric forcings the reference's
+    notebook stacks (prec/tmin/tmax/wind, Livneh cells 6-16) — the loader
+    then caps A to its first 3 channels exactly like reference
+    dataloader.py:17.  Domain B is a single SWE-like channel physically
+    tied to A (snow where cold and wet).  Both domains carry a shared
+    smooth NaN mask (ocean/missing cells) that the loader's NaN->0 scrub
+    must absorb (reference dataloader.py:19-24 semantics).
+    """
+    rng = np.random.RandomState(seed)
+    terrain = _smooth_noise(rng, n, size, size, 1, blur=4)
+    prec = np.abs(_smooth_noise(rng, n, size, size, 1, blur=3))
+    tmin = terrain + 0.3 * _smooth_noise(rng, n, size, size, 1, blur=2)
+    tmax = tmin + 0.5 * np.abs(_smooth_noise(rng, n, size, size, 1, blur=2))
+    wind = _smooth_noise(rng, n, size, size, 1, blur=2)
+    A = np.concatenate([prec, tmin, tmax, wind], axis=3).astype(np.float32)
+    swe = np.clip(prec * (0.4 - tmin), 0.0, None)
+    B = np.tanh(2.0 * swe).astype(np.float32)
+    # shared smooth "ocean" mask -> NaN speckle in every channel of both
+    # domains (the same cells are missing in every variable of a raster)
+    mask_field = _smooth_noise(rng, n, size, size, 1, blur=4)
+    thresh = np.quantile(mask_field.reshape(n, -1), 1.0 - nan_frac, axis=1)
+    mask = mask_field > thresh[:, None, None, None]
+    A[np.broadcast_to(mask, A.shape)] = np.nan
+    B[np.broadcast_to(mask, B.shape)] = np.nan
+    return A, B
+
+
+def write_synthetic_livneh_dataset(root: str, n_train: int = 256,
+                                   n_test: int = 64, size: int = 64,
+                                   seed: int = 0):
+    """Write Livneh-shaped {train,test}{A,B}.npz bundles (A: 4ch + NaN,
+    B: 1ch + NaN) under `root` for the --input_nc 3 --output_nc 1 arm."""
+    os.makedirs(root, exist_ok=True)
+    trA, trB = make_synthetic_livneh_pair(n_train, size, seed)
+    teA, teB = make_synthetic_livneh_pair(n_test, size, seed + 1)
+    np.savez(os.path.join(root, "trainA.npz"), data=trA)
+    np.savez(os.path.join(root, "trainB.npz"), data=trB)
+    np.savez(os.path.join(root, "testA.npz"), data=teA)
+    np.savez(os.path.join(root, "testB.npz"), data=teB)
+    return root
+
+
 def write_synthetic_perfile_dataset(root: str, n_train: int = 32,
                                     n_test: int = 8, size: int = 64,
                                     channels: int = 3, seed: int = 0):

@@ -313,3 +313,31 @@ def test_prep_livneh_etl_from_netcdf(tmp_path):
     with np.load(out / "testA" / "00000.npz") as z:
         np.testing.assert_array_equal(
             z["data"][..., 1], forc["Tmax"][8])
+
+
+def test_livneh_shaped_dataset_loads():
+    """The fork's science config shape (reference README.md:3): A = 4
+    atmospheric channels with a NaN ocean mask -> 3-channel cap
+    (dataloader.py:17), B = 1-channel SWE.  The loader must scrub every
+    NaN and deliver normalized [-1,1] rasters at the capped widths."""
+    import tempfile
+
+    from domain_transfer_gan_tpu.data.synthetic import (
+        make_synthetic_livneh_pair,
+        write_synthetic_livneh_dataset,
+    )
+    A, B = make_synthetic_livneh_pair(8, size=32, seed=0)
+    assert A.shape == (8, 32, 32, 4) and B.shape == (8, 32, 32, 1)
+    assert np.isnan(A).any() and np.isnan(B).any()
+    # the NaN mask is shared across channels/domains (raster semantics)
+    np.testing.assert_array_equal(np.isnan(A[..., 0]), np.isnan(A[..., 3]))
+    np.testing.assert_array_equal(np.isnan(A[..., 0]), np.isnan(B[..., 0]))
+
+    with tempfile.TemporaryDirectory() as root:
+        write_synthetic_livneh_dataset(root, n_train=216, n_test=8, size=32)
+        trA, trB, devA, devB, teA, teB = load_numpy_data(root)
+    assert trA.shape[-1] == 3 and teA.shape[-1] == 3  # 4 -> 3 cap
+    assert trB.shape[-1] == 1 and teB.shape[-1] == 1
+    for x in (trA, trB, devA, devB, teA, teB):
+        assert np.isfinite(x).all()
+        assert x.min() >= -1.0 - 1e-6 and x.max() <= 1.0 + 1e-6
