@@ -236,6 +236,13 @@ def run_jax(dataroot, out, epochs, niter, batch, seed, eval_freq, iter_seed,
     model = create_model(cfg, testing=True, image_size=size)
     train_it, (trainA, trainB), (devA, devB), _ = _load(dataroot, iter_seed,
                                                         batch)
+    # pin the train set in HBM: the iterator's fancy indexing becomes an
+    # on-device gather, so only index vectors cross the host link per step
+    # (same feed as cli/train.py --device_data; numerics identical — at
+    # 256px the host feed, not compute, bounds epoch time)
+    if trainA.nbytes + trainB.nbytes <= 2 << 30:
+        train_it.data_A = jax.device_put(train_it.data_A)
+        train_it.data_B = jax.device_put(train_it.data_B)
     sup_iter = None
     if supervised:
         # paired subset + cycle, reference train.py:142-154 semantics

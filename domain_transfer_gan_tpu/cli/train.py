@@ -279,6 +279,35 @@ def train_model(opt: TrainConfig = None, argv=None):
     is_dp = isinstance(model, DataParallel)
     mesh = model.mesh if is_dp else None
     space_ax = model.space_axis if is_dp else None
+
+    # ----- device-resident training set (TPU-native feed) ---------------
+    # The step executes on device-resident arrays, but a host feed re-
+    # uploads ~2*batch*H*W*C floats every step (the reference .cuda()s
+    # every batch, train.py:198-201) — on a tunneled TPU that transfer,
+    # not compute, bounds delivered img/s (BASELINE.md loop-level rows).
+    # --device_data pins the train arrays in HBM once; the iterators'
+    # fancy indexing then executes as an ON-DEVICE gather, so only the
+    # per-step index vectors cross the host link.  Batch order and values
+    # are identical to the host feed (same iterator, same RandomState).
+    if opt.numpy_data and multihost.process_count() == 1 \
+            and getattr(opt, "device_data", 0):
+        _ds_bytes = trainA.nbytes + trainB.nbytes
+        if opt.device_data == 1 or \
+                _ds_bytes <= opt.device_data_max_gb * (1 << 30):
+            if mesh is not None:
+                from ..parallel import replicated_sharding
+                _sh = replicated_sharding(mesh)
+                _put = lambda x: jax.device_put(x, _sh)  # noqa: E731
+            else:
+                _put = jax.device_put
+            train_dataset.data_A = _put(train_dataset.data_A)
+            train_dataset.data_B = _put(train_dataset.data_B)
+            if opt.supervised and hasattr(sup_train_dataset, "data_A"):
+                sup_train_dataset.data_A = _put(sup_train_dataset.data_A)
+                sup_train_dataset.data_B = _put(sup_train_dataset.data_B)
+            print_log(out_f, "train set pinned in HBM (%.1f MB): "
+                      "on-device batch gather" % (_ds_bytes / 2 ** 20))
+
     trace_active = False
     for epoch in range(start_epoch, opt.niter + opt.niter_decay + 1):
         model.epoch = epoch
@@ -459,6 +488,13 @@ def train_model(opt: TrainConfig = None, argv=None):
             model.update_learning_rate()
 
     model.wait_for_saves()
+    # Drain the async dispatch queue before returning: with every print/
+    # eval/save cadence disabled nothing in the loop ever fetches a result,
+    # so enqueued steps could still be executing when train_model returns —
+    # wall-clock timings around this call (benchmarks/loop_bench.py) would
+    # otherwise leak tail work into the caller.
+    if "losses" in dir():  # device programs complete in dispatch order, so
+        float(np.asarray(losses[next(iter(losses))]))  # this drains them all
     out_f.close()
     return model
 

@@ -149,6 +149,18 @@ class TrainConfig:
     #                                batchSize at ~batchSize/K activation
     #                                memory.  Composes with dp/--remat; not
     #                                with --pool_size/--pipeline/batch norm
+    device_data: int = -1          # training-set residency: 1 = pin the
+    #                                numpy train arrays in HBM once and
+    #                                gather batches ON DEVICE (only the
+    #                                per-step index vectors cross the host
+    #                                link — the TPU-native feed; numerics
+    #                                identical to host feed), 0 = host feed
+    #                                (per-batch host->HBM transfers),
+    #                                -1 = auto (on when the train set is
+    #                                in-memory numpy, fits the budget
+    #                                below, and the run is single-host)
+    device_data_max_gb: float = 2.0  # auto-mode HBM budget for the pinned
+    #                                train set (v5e chips have 16 GB)
     coordinator: str = ""          # multi-host: "host:port" of process 0,
     #                                or "auto" (TPU-pod auto-detection)
     num_processes: int = 0         # multi-host: total process count
@@ -280,6 +292,10 @@ class TrainOptions:
         p.add_argument("--grad_accum", type=int, default=d.grad_accum)
         p.add_argument("--d_lr_mode", type=str, default=d.d_lr_mode,
                        choices=["reference", "ratio"])
+        p.add_argument("--device_data", type=int, choices=[-1, 0, 1],
+                       default=d.device_data)
+        p.add_argument("--device_data_max_gb", type=float,
+                       default=d.device_data_max_gb)
         p.add_argument("--coordinator", type=str, default=d.coordinator)
         p.add_argument("--num_processes", type=int, default=d.num_processes)
         p.add_argument("--process_id", type=int, default=d.process_id)
