@@ -57,7 +57,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from domain_transfer_gan_tpu.cli.test import run_test_cli
+    from domain_transfer_gan_tpu.cli.test import test_model as run_test_cli
     from domain_transfer_gan_tpu.cli.train import train_model
     from domain_transfer_gan_tpu.data.synthetic import (
         write_synthetic_livneh_dataset,

@@ -352,8 +352,49 @@ def test_device_data_feed_identical(tmp_path, capsys):
     np.testing.assert_array_equal(host[0], dev[0])
     np.testing.assert_array_equal(host[1], dev[1])
     # The dp-mesh variant (replicated pin + on-device reshard onto the
-    # 'data' axis) is exercised by every SPMD CLI test: --device_data
-    # defaults to auto-on, so test_train_driver_spmd_mesh drives it on
-    # composed meshes.  (A dedicated 2-device arm was verified once:
-    # MSE history matches the host feed to 2e-4; UBO differs ~1% because
-    # its 50-step RMSprop eval loop amplifies reduction-order noise.)
+    # 'data' axis) is asserted by test_device_data_feed_mesh_equivalence
+    # below; every SPMD CLI test also drives it (--device_data defaults
+    # to auto-on on composed meshes).
+
+
+def test_device_data_feed_mesh_equivalence(tmp_path, capsys):
+    """The dp-mesh device feed (replicated HBM pin -> on-device gather ->
+    reshard onto the 'data' axis) must reproduce the host feed's
+    trajectory (ADVICE r4: this equivalence previously rested on a one-off
+    manual check recorded only in a comment).  Two claims:
+
+    * mesh + --device_data 1 vs mesh + --device_data 0: the feed is the
+      ONLY difference — identical mesh, identical step program, identical
+      batch order — so histories must match bit-for-bit;
+    * mesh vs single-device host feed: SPMD reduction-order tolerance
+      (MSE history ~2e-4; UBO looser — its iterative RMSprop eval loop
+      amplifies reduction-order noise over 50 steps)."""
+    root = tmp_path / "ds"
+    write_synthetic_dataset(str(root), n_train=40, n_test=8, size=64)
+
+    def drive(tag, extra):
+        ck = tmp_path / ("ck_" + tag)
+        train_model(argv=[
+            "--dataroot", str(root), "--name", "ddm",
+            "--checkpoints_dir", str(ck), "--grid_size", "64",
+            "--batchSize", "8", "--ngf", "4", "--nef", "4", "--ndf", "8",
+            "--nlatent", "8", "--niter", "2", "--niter_decay", "0",
+            "--print_freq", "0", "--display_freq", "0",
+            "--save_epoch_freq", "0", "--use_pallas", "0", "--seed", "3",
+            "--dev_size", "8"] + extra)
+        expr = os.path.join(str(ck), "ddm")
+        return (np.load(os.path.join(expr, "history_mse_A.npy")),
+                np.load(os.path.join(expr, "history_ubo_B.npy")))
+
+    host = drive("host1", ["--num_devices", "1", "--device_data", "0"])
+    mesh_host = drive("mhost", ["--num_devices", "2", "--device_data", "0"])
+    mesh_dev = drive("mdev", ["--num_devices", "2", "--device_data", "1"])
+    assert "pinned in HBM" in capsys.readouterr().out
+    # feed-path isolation on the same mesh: bit-identical
+    np.testing.assert_array_equal(mesh_host[0], mesh_dev[0])
+    np.testing.assert_array_equal(mesh_host[1], mesh_dev[1])
+    # mesh vs single device: SPMD tolerance (the stated manual-check bands)
+    np.testing.assert_allclose(host[0], mesh_dev[0], atol=5e-4)
+    ubo_rel = np.abs(host[1][:, 0] - mesh_dev[1][:, 0]) \
+        / np.abs(host[1][:, 0])
+    assert float(ubo_rel.max()) < 0.03, ubo_rel
