@@ -289,6 +289,7 @@ def train_model(opt: TrainConfig = None, argv=None):
     # fancy indexing then executes as an ON-DEVICE gather, so only the
     # per-step index vectors cross the host link.  Batch order and values
     # are identical to the host feed (same iterator, same RandomState).
+    indexed_feed = False
     if opt.numpy_data and multihost.process_count() == 1 \
             and getattr(opt, "device_data", 0):
         _ds_bytes = trainA.nbytes + trainB.nbytes
@@ -305,8 +306,20 @@ def train_model(opt: TrainConfig = None, argv=None):
             if opt.supervised and hasattr(sup_train_dataset, "data_A"):
                 sup_train_dataset.data_A = _put(sup_train_dataset.data_A)
                 sup_train_dataset.data_B = _put(sup_train_dataset.data_B)
+            # Single-device: go one step further and fold the gather INTO
+            # the jitted step (models/api._indexed_step) — the iterator
+            # yields index vectors that ride the step call, so each step
+            # is ONE dispatch instead of three (gather A, gather B, step).
+            # Worth ~1.4x delivered img/s on the tunneled backend
+            # (BASELINE.md round-5 loop rows; benchmarks/feed_bench.py).
+            if mesh is None and getattr(train_dataset, "yield_indices",
+                                        None) is False:
+                train_dataset.yield_indices = True
+                indexed_feed = True
             print_log(out_f, "train set pinned in HBM (%.1f MB): "
-                      "on-device batch gather" % (_ds_bytes / 2 ** 20))
+                      "%s batch gather"
+                      % (_ds_bytes / 2 ** 20,
+                         "in-step" if indexed_feed else "on-device"))
 
     trace_active = False
     for epoch in range(start_epoch, opt.niter + opt.niter_decay + 1):
@@ -338,11 +351,20 @@ def train_model(opt: TrainConfig = None, argv=None):
                     continue
                 yield d
 
-        feed = prefetch_to_device(full_batches(train_dataset), mesh,
-                                  axis=model.axis if is_dp else "data",
-                                  space_axis=space_ax)
+        # the in-step-gather feed needs no prefetch: only tiny index
+        # vectors cross the host link, as arguments of the step call
+        feed = (iter(train_dataset) if indexed_feed else
+                prefetch_to_device(full_batches(train_dataset), mesh,
+                                   axis=model.axis if is_dp else "data",
+                                   space_axis=space_ax))
         for i, data in enumerate(feed):
-            real_A, real_B = data["A"], data["B"]
+            if indexed_feed:
+                idx_A, idx_B = data["A_idx"], data["B_idx"]
+                n_batch = idx_A.shape[0]
+                real_A = real_B = None
+            else:
+                real_A, real_B = data["A"], data["B"]
+                n_batch = real_A.shape[0]
             total_steps += opt.batchSize
             epoch_iter += opt.batchSize
 
@@ -356,9 +378,13 @@ def train_model(opt: TrainConfig = None, argv=None):
             # SAME prior_z_B to both), so draw it in the driver there —
             # sized to the actual batch (the per-file loader emits short
             # tail batches)
-            prior_z = (model.sample_prior_z(real_A.shape[0])
+            prior_z = (model.sample_prior_z(n_batch)
                        if opt.supervised else None)
-            out = model.train_instance(real_A, real_B, prior_z)
+            out = (model.train_instance_indexed(
+                       train_dataset.data_A, train_dataset.data_B,
+                       idx_A, idx_B, prior_z)
+                   if indexed_feed else
+                   model.train_instance(real_A, real_B, prior_z))
             if opt.monitor_gnorm:
                 losses, visuals, gnorms = out
             else:
@@ -390,6 +416,9 @@ def train_model(opt: TrainConfig = None, argv=None):
             timer.tick(opt.batchSize)
 
             if opt.display_freq and total_steps % opt.display_freq == 0:
+                if real_A is None:  # indexed feed: materialize for visuals
+                    real_A = jnp.take(train_dataset.data_A,
+                                      jnp.asarray(idx_A), axis=0)
                 visualize_cycle(opt, real_A, visuals, epoch,
                                 epoch_iter // opt.batchSize, train=True)
                 dev_data = next(dev_cycle)

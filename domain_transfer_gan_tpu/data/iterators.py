@@ -71,6 +71,11 @@ class UnalignedIterator:
         if self.num_samples % batch_size != 0:
             self.n_batches += 1
         self.rng = rng or np.random
+        # index mode (cli/train.py --device_data fused feed): yield the
+        # batch's row indices instead of gathered arrays, so the gather
+        # can run inside the jitted step program.  Same RandomState, same
+        # permutations, same rows — only WHERE the gather executes moves.
+        self.yield_indices = False
         self.reset()
 
     def __iter__(self):
@@ -91,6 +96,9 @@ class UnalignedIterator:
         chosen_A = self.data_indices[0][idx:idx + self.batch_size]
         chosen_B = self.data_indices[1][idx:idx + self.batch_size]
         self.batch_idx += 1
+        if self.yield_indices:
+            return {"A_idx": np.asarray(chosen_A, dtype=np.int32),
+                    "B_idx": np.asarray(chosen_B, dtype=np.int32)}
         return {"A": self.data_A[chosen_A], "B": self.data_B[chosen_B]}
 
     next = __next__

@@ -61,6 +61,23 @@ def _reorder_visuals(visuals):
     return OrderedDict((k, visuals[k]) for k in order)
 
 
+def _indexed_step(step_fn):
+    """Fold the --device_data batch gather INTO the step program.
+
+    The host-loop feed gathers each batch from the HBM-pinned train set
+    with two standalone fancy-index dispatches before the step call; on
+    the tunneled backend those extra per-step dispatches cost ~30% of
+    delivered throughput (BASELINE.md round-5 loop rows, feed_bench.py
+    attribution).  Here the tiny index vectors ride the step call itself
+    and XLA gathers in-graph — one dispatch per step total.  Numerics:
+    jnp.take of the same rows the host iterator would have gathered, so
+    step inputs are bit-identical to the host feed."""
+    def f(state, data_A, data_B, idx_A, idx_B, *rest):
+        return step_fn(state, jnp.take(data_A, idx_A, axis=0),
+                       jnp.take(data_B, idx_B, axis=0), *rest)
+    return f
+
+
 class _CycleGANBase:
     """Shared plumbing: state, jit caches, lr schedule, checkpoint IO."""
 
@@ -105,6 +122,21 @@ class _CycleGANBase:
         if prior_z_B.ndim == 4:
             prior_z_B = prior_z_B.reshape(prior_z_B.shape[0], -1)
         return prior_z_B
+
+    def train_instance_indexed(self, data_A, data_B, idx_A, idx_B,
+                               prior_z_B=None):
+        """train_instance on rows idx_A/idx_B of the HBM-pinned train set:
+        the gather happens inside the step program (_indexed_step), so one
+        dispatch per step carries everything.  Same return contract as
+        train_instance; bit-identical trajectory to feeding the gathered
+        batches (tests/test_cli.py::test_device_data_feed_identical)."""
+        idx_A, idx_B = jnp.asarray(idx_A), jnp.asarray(idx_B)
+        prior_z_B = self._prep_prior(int(idx_A.shape[0]), prior_z_B)
+        self.state, losses, visuals, gnorms = self._train_step_idx(
+            self.state, _as_jnp(data_A), _as_jnp(data_B), idx_A, idx_B,
+            prior_z_B, jnp.float32(self.old_lr), jnp.float32(self.old_lr_d),
+            self.next_key())
+        return self._format_train_out(losses, visuals, gnorms)
 
     # -- forward helpers (jitted, train-flag static) --------------------
     def _apply(self, name: str, *args, train: Optional[bool] = None):
@@ -413,11 +445,12 @@ class StochCycleGAN(_CycleGANBase):
                  testing: bool = False, **kw):
         self.ignore_noise = ignore_noise
         super().__init__(opt, testing=testing, **kw)
-        self._train_step = jax.jit(
-            make_stoch_accum_step(self.nets, opt, ignore_noise)
-            if _accum_k(opt) > 1
-            else make_stoch_train_step(self.nets, opt, ignore_noise),
-            donate_argnums=(0,))
+        raw_step = (make_stoch_accum_step(self.nets, opt, ignore_noise)
+                    if _accum_k(opt) > 1
+                    else make_stoch_train_step(self.nets, opt, ignore_noise))
+        self._train_step = jax.jit(raw_step, donate_argnums=(0,))
+        self._train_step_idx = jax.jit(_indexed_step(raw_step),
+                                       donate_argnums=(0,))
 
     def train_instance(self, real_A, real_B, prior_z_B=None):
         real_A, real_B = _as_jnp(real_A), _as_jnp(real_B)
@@ -426,6 +459,9 @@ class StochCycleGAN(_CycleGANBase):
             self.state, real_A, real_B, prior_z_B,
             jnp.float32(self.old_lr), jnp.float32(self.old_lr_d),
             self.next_key())
+        return self._format_train_out(losses, visuals, gnorms)
+
+    def _format_train_out(self, losses, visuals, gnorms):
         order = ["D_A", "G_A", "Cyc_A", "D_B", "G_B", "Cyc_B",
                  "P_t_A", "P_f_A", "P_t_B", "P_f_B"]
         losses = OrderedDict((k, losses[k]) for k in order)
@@ -487,10 +523,11 @@ class AugmentedCycleGAN(_CycleGANBase):
 
     def __init__(self, opt: TrainConfig, testing: bool = False, **kw):
         super().__init__(opt, testing=testing, **kw)
-        self._train_step = jax.jit(
-            make_aug_accum_step(self.nets, opt) if _accum_k(opt) > 1
-            else make_aug_train_step(self.nets, opt),
-            donate_argnums=(0,))
+        raw_step = (make_aug_accum_step(self.nets, opt) if _accum_k(opt) > 1
+                    else make_aug_train_step(self.nets, opt))
+        self._train_step = jax.jit(raw_step, donate_argnums=(0,))
+        self._train_step_idx = jax.jit(_indexed_step(raw_step),
+                                       donate_argnums=(0,))
         self._sup_step = jax.jit(make_aug_supervised_step(self.nets, opt),
                                  donate_argnums=(0,))
 
@@ -501,6 +538,9 @@ class AugmentedCycleGAN(_CycleGANBase):
             self.state, real_A, real_B, prior_z_B,
             jnp.float32(self.old_lr), jnp.float32(self.old_lr_d),
             self.next_key())
+        return self._format_train_out(losses, visuals, gnorms)
+
+    def _format_train_out(self, losses, visuals, gnorms):
         order = ["D_A", "G_A", "Cyc_A", "Cyc_z_B", "KLD_z_B", "D_B", "G_B",
                  "Cyc_B", "D_z_B", "P_t_A", "P_f_A", "P_t_B", "P_f_B"]
         losses = OrderedDict((k, losses[k]) for k in order)
